@@ -1,0 +1,122 @@
+"""Tile binning: duplicate-by-tile, depth sort, tile ranges — all in XLA.
+
+TPU-native replacement for the cub pipeline in
+/root/reference/submodules/rgbd-rasterization/cuda_rasterizer/rasterizer_impl.cu:198-341
+(InclusiveSum → duplicateWithKeys → DeviceRadixSort → identifyTileRanges).
+Differences by design:
+  * static PAIR_BUDGET instead of a host-synced `num_rendered`
+    (rasterizer_impl.cu:283 does a cudaMemcpy to host; we never leave device);
+    overflow is counted and reported, not silently corrupted.
+  * pair expansion via searchsorted over the count cumsum (one gather instead
+    of a scatter with variable fan-out),
+  * lexicographic `lax.sort` on (tile_id, depth) instead of packed 64-bit radix
+    keys,
+  * per-tile [start, count) via two searchsorted calls.
+
+Everything here is integer bookkeeping — non-differentiable by nature (the
+reference treats it the same way); gradients flow through the gathered splat
+values, not the ordering.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import ProjectedGaussians
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TileBinning:
+    """Sorted (tile, depth) pair list + per-tile ranges."""
+
+    pair_gaussian: jnp.ndarray  # [PAIR_BUDGET] int32 gaussian index (N = invalid)
+    pair_tile: jnp.ndarray  # [PAIR_BUDGET] int32 tile id (num_tiles = invalid)
+    tile_start: jnp.ndarray  # [num_tiles] int32 start row per tile
+    tile_count: jnp.ndarray  # [num_tiles] int32 rows per tile
+    num_pairs: jnp.ndarray  # [] int32 valid pairs (pre-clip)
+    overflow: jnp.ndarray  # [] int32 pairs dropped due to budget
+
+
+def tile_rects(
+    means2d: jnp.ndarray,
+    radii: jnp.ndarray,
+    tile_shape: Tuple[int, int],
+    grid_shape: Tuple[int, int],
+):
+    """Per-Gaussian touched tile rectangle; getRect (auxiliary.h:46-56)."""
+    th, tw = tile_shape
+    nty, ntx = grid_shape
+    r = radii.astype(jnp.float32)
+    x, y = means2d[:, 0], means2d[:, 1]
+    x0 = jnp.clip(jnp.floor((x - r) / tw), 0, ntx).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((x + r + tw - 1) / tw), 0, ntx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((y - r) / th), 0, nty).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((y + r + th - 1) / th), 0, nty).astype(jnp.int32)
+    counts = jnp.where(radii > 0, (x1 - x0) * (y1 - y0), 0)
+    return x0, x1, y0, y1, counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_shape", "grid_shape", "pair_budget")
+)
+def bin_gaussians(
+    means2d: jnp.ndarray,
+    depths: jnp.ndarray,
+    radii: jnp.ndarray,
+    tile_shape: Tuple[int, int],
+    grid_shape: Tuple[int, int],
+    pair_budget: int,
+) -> TileBinning:
+    n = means2d.shape[0]
+    nty, ntx = grid_shape
+    num_tiles = nty * ntx
+
+    x0, x1, y0, y1, counts = tile_rects(means2d, radii, tile_shape, grid_shape)
+    cum = jnp.cumsum(counts)  # inclusive
+    total = cum[-1]
+    offsets = cum - counts  # exclusive
+
+    pair_idx = jnp.arange(pair_budget, dtype=jnp.int32)
+    # Gaussian owning each pair slot; slots >= total map past the end.
+    g = jnp.searchsorted(cum, pair_idx, side="right").astype(jnp.int32)
+    valid = pair_idx < jnp.minimum(total, pair_budget)
+    g_safe = jnp.clip(g, 0, n - 1)
+    local = pair_idx - offsets[g_safe]
+    w = jnp.maximum(x1[g_safe] - x0[g_safe], 1)
+    tx = x0[g_safe] + local % w
+    ty = y0[g_safe] + local // w
+    tile = ty * ntx + tx
+    tile = jnp.where(valid, tile, num_tiles)
+    depth_key = jnp.where(valid, depths[g_safe], jnp.inf)
+    g_key = jnp.where(valid, g_safe, n)
+
+    sorted_tile, _, sorted_g = jax.lax.sort(
+        (tile, depth_key, g_key), num_keys=2
+    )
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(
+        jnp.int32
+    )
+    tile_end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(
+        jnp.int32
+    )
+    return TileBinning(
+        pair_gaussian=sorted_g,
+        pair_tile=sorted_tile,
+        tile_start=tile_start,
+        tile_count=tile_end - tile_start,
+        num_pairs=jnp.minimum(total, pair_budget).astype(jnp.int32),
+        overflow=jnp.maximum(total - pair_budget, 0).astype(jnp.int32),
+    )
+
+
+def default_pair_budget(n: int, avg_tiles_per_gaussian: int = 12) -> int:
+    """Heuristic static budget, rounded to 8k granules to bound recompiles."""
+    b = n * avg_tiles_per_gaussian
+    return max(8192, -(-b // 8192) * 8192)

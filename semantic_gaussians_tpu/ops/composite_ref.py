@@ -1,0 +1,120 @@
+"""Dense reference compositor — the correctness oracle.
+
+A pure-JAX O(N * pixels) re-statement of the tile renderer's per-pixel
+front-to-back alpha compositing loop (renderCUDA,
+/root/reference/submodules/rgbd-rasterization/cuda_rasterizer/forward.cu:262-393),
+differentiable end-to-end by autodiff. Slow by design; used for tests and the
+CPU-runnable small config (BASELINE config #1). Exactly reproduces:
+
+  alpha      = min(0.99, opacity * exp(power)),  power = -0.5(A dx^2 + C dy^2) - B dx dy
+  skip       if power > 0 or alpha < 1/255
+  terminate  (per pixel) when T*(1-alpha) < 1e-4, *without* compositing that one
+  median depth = depth where T crosses 0.5 (init 15.0)
+  out        = C + T * bg
+
+With `tile_shape` given, contributions are additionally restricted to each
+Gaussian's tile-aligned bounding rect (getRect, auxiliary.h:46-56) so the
+oracle is bit-comparable with the tiled kernels.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import ProjectedGaussians
+
+ALPHA_CUTOFF = 1.0 / 255.0
+T_EPS = 1e-4
+MAX_ALPHA = 0.99
+MEDIAN_DEPTH_INIT = 15.0
+
+
+def rasterize_dense(
+    proj: ProjectedGaussians,
+    img_width: int,
+    img_height: int,
+    bg: jnp.ndarray,  # [C]
+    tile_shape: Optional[Tuple[int, int]] = None,  # (tile_h, tile_w)
+) -> dict:
+    """Composite every Gaussian over every pixel, in global depth order.
+
+    Returns dict(render=[H,W,C], depth=[H,W], final_T=[H,W], n_contrib=[H,W]).
+    """
+    n = proj.means2d.shape[0]
+    num_ch = proj.colors.shape[-1]
+
+    # Global depth order; culled entries (radius 0, opacity already 0) last.
+    sort_depth = jnp.where(proj.radii > 0, proj.depths, jnp.inf)
+    order = jnp.argsort(sort_depth)
+    means2d = proj.means2d[order]
+    conics = proj.conics[order]
+    opac = proj.opacities[order]
+    colors = proj.colors[order]
+    depths = proj.depths[order]
+    radii = proj.radii[order]
+
+    ys = jnp.arange(img_height, dtype=jnp.float32)
+    xs = jnp.arange(img_width, dtype=jnp.float32)
+    px_y, px_x = jnp.meshgrid(ys, xs, indexing="ij")  # [H, W]
+
+    if tile_shape is not None:
+        th, tw = tile_shape
+        ntx = -(-img_width // tw)
+        nty = -(-img_height // th)
+        tile_ix = (px_x / tw).astype(jnp.int32)
+        tile_iy = (px_y / th).astype(jnp.int32)
+
+    def step(state, row):
+        T, C, D, done, n_contrib = state
+        mean2d, conic, o, color, depth, radius = row
+        dx = mean2d[0] - px_x
+        dy = mean2d[1] - px_y
+        power = (
+            -0.5 * (conic[0] * dx * dx + conic[2] * dy * dy) - conic[1] * dx * dy
+        )
+        # exp clamped at 0: power > 0 is masked out below anyway (CUDA skips
+        # it pre-exp), and this keeps huge positive powers from overflowing
+        # into inf/NaN that would poison reverse-mode through jnp.where.
+        alpha = jnp.minimum(MAX_ALPHA, o * jnp.exp(jnp.minimum(power, 0.0)))
+        candidate = (power <= 0.0) & (alpha >= ALPHA_CUTOFF)
+        if tile_shape is not None:
+            # getRect clamp (auxiliary.h:46-56): pixel visible only if its tile
+            # is inside the Gaussian's rect.
+            x0 = jnp.clip(((mean2d[0] - radius) / tw).astype(jnp.int32), 0, ntx)
+            x1 = jnp.clip(
+                ((mean2d[0] + radius + tw - 1) / tw).astype(jnp.int32), 0, ntx
+            )
+            y0 = jnp.clip(((mean2d[1] - radius) / th).astype(jnp.int32), 0, nty)
+            y1 = jnp.clip(
+                ((mean2d[1] + radius + th - 1) / th).astype(jnp.int32), 0, nty
+            )
+            in_rect = (
+                (tile_ix >= x0) & (tile_ix < x1) & (tile_iy >= y0) & (tile_iy < y1)
+            )
+            candidate = candidate & in_rect
+        test_T = T * (1.0 - alpha)
+        terminate = candidate & (test_T < T_EPS)
+        contribute = candidate & ~terminate & ~done
+        w = jnp.where(contribute, alpha * T, 0.0)
+        C = C + w[..., None] * color[None, None, :]
+        median_hit = contribute & (T > 0.5) & (test_T < 0.5)
+        D = jnp.where(median_hit, depth, D)
+        T = jnp.where(contribute, test_T, T)
+        done = done | terminate
+        n_contrib = jnp.where(contribute, n_contrib + 1, n_contrib)
+        return (T, C, D, done, n_contrib), None
+
+    init = (
+        jnp.ones((img_height, img_width), jnp.float32),
+        jnp.zeros((img_height, img_width, num_ch), jnp.float32),
+        jnp.full((img_height, img_width), MEDIAN_DEPTH_INIT, jnp.float32),
+        jnp.zeros((img_height, img_width), bool),
+        jnp.zeros((img_height, img_width), jnp.int32),
+    )
+    (T, C, D, _, n_contrib), _ = jax.lax.scan(
+        step, init, (means2d, conics, opac, colors, depths, radii)
+    )
+    render = C + T[..., None] * bg[None, None, :]
+    return dict(render=render, depth=D, final_T=T, n_contrib=n_contrib)

@@ -1,0 +1,183 @@
+"""Per-Gaussian projection ("preprocess") — fully vectorized, differentiable JAX.
+
+TPU-native equivalent of preprocessCUDA / computeCov2D / computeCov3D
+(/root/reference/submodules/rgbd-rasterization/cuda_rasterizer/forward.cu:74-256).
+One fused XLA program over all N Gaussians instead of one CUDA thread each; the
+backward pass is pure autodiff (the CUDA backward.cu:141-391 hand-derivation is
+unnecessary — clamps/gates become subgradients of jnp.clip/maximum, which
+matches the reference's explicit gradient gating).
+
+Constants matching the reference:
+  near cull at view z <= 0.2 (auxiliary.h:154), FOV clamp 1.3*tan (forward.cu:85-89),
+  +0.3 px low-pass on cov2D diagonal (forward.cu:110-111), eigenvalue floor 0.1 and
+  radius = ceil(3*sigma_max) (forward.cu:229-232), ndc2Pix(v,S) = ((v+1)S-1)/2.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.sh import eval_sh
+from ..utils.transforms import build_covariance_3d, strip_symmetric, unstrip_symmetric
+
+NEAR_CULL_Z = 0.2
+LOWPASS = 0.3
+EIG_FLOOR = 0.1
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ProjectedGaussians:
+    """Per-Gaussian screen-space quantities (all [N, ...])."""
+
+    means2d: jnp.ndarray  # [N, 2] pixel coords
+    depths: jnp.ndarray  # [N] view-space z
+    conics: jnp.ndarray  # [N, 3] inverse 2D covariance (a, b, c)
+    opacities: jnp.ndarray  # [N]
+    colors: jnp.ndarray  # [N, C]
+    radii: jnp.ndarray  # [N] int32 pixel radius (0 = culled)
+
+
+def compute_cov2d(
+    means: jnp.ndarray,
+    cov3d: jnp.ndarray,  # [N, 3, 3]
+    world_view: jnp.ndarray,  # [4, 4]
+    focal_x: float,
+    focal_y: float,
+    tan_fov_x: float,
+    tan_fov_y: float,
+) -> jnp.ndarray:
+    """EWA projection of 3D covariance to 2D: returns [N, 3] (a, b, c).
+
+    cov2d = J W Sigma W^T J^T + 0.3*I  (forward.cu:74-113).
+    """
+    W = world_view[:3, :3]
+    t = means @ W.T + world_view[:3, 3]
+    # Culled Gaussians (z <= 0.2) still flow through this math with static
+    # shapes; give them a safe denominator so no inf/NaN leaks into autodiff
+    # (forward masking alone does not stop NaN cotangents through jnp.where).
+    tz = jnp.where(t[:, 2] > NEAR_CULL_Z, t[:, 2], 1.0)
+    limx = 1.3 * tan_fov_x
+    limy = 1.3 * tan_fov_y
+    txtz = jnp.clip(t[:, 0] / tz, -limx, limx)
+    tytz = jnp.clip(t[:, 1] / tz, -limy, limy)
+    tx = txtz * tz
+    ty = tytz * tz
+
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    zeros = jnp.zeros_like(tz)
+    # J is [N, 2, 3] (third row of the CUDA J is zero — drop it).
+    J = jnp.stack(
+        [
+            jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], axis=-1),
+            jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], axis=-1),
+        ],
+        axis=-2,
+    )
+    JW = J @ W  # [N, 2, 3]
+    cov = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)  # [N, 2, 2]
+    a = cov[:, 0, 0] + LOWPASS
+    b = cov[:, 0, 1]
+    c = cov[:, 1, 1] + LOWPASS
+    return jnp.stack([a, b, c], axis=-1)
+
+
+def project_gaussians(
+    means: jnp.ndarray,  # [N, 3]
+    scales: jnp.ndarray,  # [N, 3] (activated)
+    quats: jnp.ndarray,  # [N, 4] (raw; normalized inside cov build)
+    opacities: jnp.ndarray,  # [N] (activated)
+    world_view: jnp.ndarray,  # [4, 4]
+    full_proj: jnp.ndarray,  # [4, 4]
+    camera_center: jnp.ndarray,  # [3]
+    img_width: int,
+    img_height: int,
+    tan_fov_x: float,
+    tan_fov_y: float,
+    *,
+    sh_coeffs: Optional[jnp.ndarray] = None,  # [N, K, 3]
+    sh_degree: int = 3,
+    override_color: Optional[jnp.ndarray] = None,  # [N, C]
+    cov3d_precomp: Optional[jnp.ndarray] = None,  # [N, 6] packed
+    scaling_modifier: float = 1.0,
+    alive: Optional[jnp.ndarray] = None,  # [N] bool
+) -> ProjectedGaussians:
+    """Project all Gaussians to screen space. Culled entries get radius 0 and
+    opacity 0, so downstream stages can treat them uniformly (no compaction —
+    static shapes for XLA)."""
+    focal_x = img_width / (2.0 * tan_fov_x)
+    focal_y = img_height / (2.0 * tan_fov_y)
+
+    # View-space position and near culling.
+    p_view = means @ world_view[:3, :3].T + world_view[:3, 3]
+    depths = p_view[:, 2]
+    in_front = depths > NEAR_CULL_Z
+
+    # Clip-space -> NDC -> pixels (forward.cu:197-200, ndc2Pix auxiliary.h).
+    p_hom = means @ full_proj[:3, :3].T + full_proj[:3, 3]
+    p_w = means @ full_proj[3, :3] + full_proj[3, 3]
+    p_w_safe = jnp.where(jnp.abs(p_w) > 1e-6, p_w, 1e-6)
+    rw = 1.0 / (p_w_safe + 1e-7)
+    ndc = p_hom * rw[:, None]
+    means2d = jnp.stack(
+        [
+            ((ndc[:, 0] + 1.0) * img_width - 1.0) * 0.5,
+            ((ndc[:, 1] + 1.0) * img_height - 1.0) * 0.5,
+        ],
+        axis=-1,
+    )
+
+    # 3D covariance.
+    if cov3d_precomp is not None:
+        cov3d = unstrip_symmetric(cov3d_precomp)
+    else:
+        cov3d = build_covariance_3d(scales * scaling_modifier, quats)
+
+    cov2d = compute_cov2d(
+        means, cov3d, world_view, focal_x, focal_y, tan_fov_x, tan_fov_y
+    )
+    a, b, c = cov2d[:, 0], cov2d[:, 1], cov2d[:, 2]
+    det = a * c - b * b
+    det_ok = det != 0.0
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    conics = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    mid = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(mid * mid - det, EIG_FLOOR))
+    lambda_max = mid + disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))
+
+    valid = in_front & det_ok
+    if alive is not None:
+        valid = valid & alive
+    radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+
+    # Colors: SH evaluated toward the camera, clamped at 0 (forward.cu:20-71),
+    # or a caller-provided override (feature rendering).
+    if override_color is not None:
+        colors = override_color
+    else:
+        assert sh_coeffs is not None
+        dirs = means - camera_center[None, :]
+        # sqrt(sum+eps): jnp.linalg.norm has a NaN gradient at exactly 0
+        # (dead padded Gaussians can sit on the camera center).
+        dirs = dirs / jnp.sqrt(
+            jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20
+        )
+        # eval_sh wants [..., C, K]
+        raw = eval_sh(sh_degree, jnp.swapaxes(sh_coeffs, -1, -2), dirs) + 0.5
+        colors = jnp.maximum(raw, 0.0)
+
+    opac = jnp.where(valid, opacities, 0.0)
+    return ProjectedGaussians(
+        means2d=means2d,
+        depths=depths,
+        conics=conics,
+        opacities=opac,
+        colors=colors,
+        radii=radii,
+    )
