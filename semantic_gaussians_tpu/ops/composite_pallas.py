@@ -1,0 +1,553 @@
+"""Tiled alpha-compositing forward/backward as Pallas TPU kernels.
+
+TPU-native re-design of renderCUDA forward
+(/root/reference/submodules/rgbd-rasterization/cuda_rasterizer/forward.cu:262-393)
+and the back-to-front gradient pass
+(/root/reference/submodules/channel-rasterization/cuda_rasterizer/backward.cu:404-551),
+with a *correct* runtime-N-channel backward (the reference's is compiled for 3
+channels only — see SURVEY.md §2.1-B).
+
+Key differences from the CUDA design (see DESIGN.md):
+  * Tiles are TH x TW = 8 x 128 pixels (one native f32 VPU tile); all
+    per-chunk math runs on (CHUNK=128, PX=1024) matrices — Gaussians on
+    sublanes, pixels on lanes, so per-pixel loop state is compact (1, PX)
+    rows (8 vregs each) and per-Gaussian reductions are sublane sums.
+  * The per-pixel sequential compositing loop becomes a *vectorized chunk
+    recurrence*: alphas for a CHUNK of depth-sorted Gaussians are computed at
+    once, transmittance prefix/suffix products are triangular matmuls in log
+    space (MXU), and color accumulation is one (C, CHUNK) x (CHUNK, PX)
+    matmul (MXU) into a VMEM accumulator — no scalar loops.
+  * Pair data is stored TRANSPOSED, shape (D, P): Mosaic requires HBM slices
+    to be lane-aligned, so per-chunk DMA grabs (D, 128) column blocks at
+    128-aligned offsets (each tile's range start is aligned down and the head
+    columns masked — they belong to the previous tile), then one in-kernel
+    transpose yields the (CHUNK, D) working block.
+  * The backward emits per-PAIR gradient columns into the same (D, P) layout.
+    Tiles own contiguous column ranges; TPU grid steps execute sequentially
+    in ascending tile order, so: tail overruns (zeros past a tile's range)
+    are later overwritten by the owning tile, and the 128-aligned *head*
+    block — already written by the previous tile — is preserved with a
+    read-merge-write on each tile's first chunk. No atomics anywhere; the
+    per-Gaussian reduction is the deterministic segment-sum of the gather's
+    autodiff VJP in the caller.
+  * Exact reference semantics: alpha = min(0.99, op*exp(power)), skip
+    power>0 / alpha<1/255, sticky termination when T*(1-alpha) < 1e-4 (that
+    Gaussian excluded), median depth at the T=0.5 crossing (init 15.0),
+    out = C + T*bg, and the backward's alpha gradient ignoring the 0.99
+    clamp (matching CUDA backward.cu:477-530).
+
+Pair layout (float32, shape (D, P) with D = 8 + C padded to a multiple of 8):
+  row 0=mean_x 1=mean_y 2=conic_a 3=conic_b 4=conic_c 5=opacity 6=depth
+  7=pad  8:8+C=color/feature channels.
+Gradient output uses the same layout (depth/pad rows zero).
+
+Outputs are TILE-MAJOR: color (num_tiles, C, PX), scalars (num_tiles, 1, PX);
+the caller unscrambles to raster order in XLA (outside the custom_vjp, so
+cotangents scramble back automatically).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax._src import dtypes as _jax_dtypes
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_CUTOFF = 1.0 / 255.0
+T_EPS = 1e-4
+MAX_ALPHA = 0.99
+MEDIAN_DEPTH_INIT = 15.0
+
+COL_MX, COL_MY, COL_CA, COL_CB, COL_CC, COL_OP, COL_DEPTH = 0, 1, 2, 3, 4, 5, 6
+COL_COLOR = 8
+CHUNK = 128  # DMA/alignment granule; must be a multiple of 128
+
+
+class CompositeConfig(NamedTuple):
+    """Static (hashable) kernel configuration."""
+
+    tile_h: int
+    tile_w: int
+    grid_h: int  # number of tile rows
+    grid_w: int  # number of tile cols
+    num_channels: int
+    interpret: bool
+
+    @property
+    def row_width(self) -> int:
+        # Padded to a multiple of 8: Mosaic slices along the sublane dim must
+        # be 8-aligned (or full), and pair buffers are sliced by row groups.
+        d = COL_COLOR + self.num_channels
+        return -(-d // 8) * 8
+
+    @property
+    def px(self) -> int:
+        return self.tile_h * self.tile_w
+
+    @property
+    def num_tiles(self) -> int:
+        return self.grid_h * self.grid_w
+
+
+def _tri(mode: str) -> jnp.ndarray:
+    """(CHUNK, CHUNK) 0/1 masks for prefix/suffix sums via LEFT-matmul:
+    out[i, p] = sum_j M[i, j] * x[j, p]."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)  # output i
+    col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)  # summed j
+    if mode == "prefix_excl":  # sum_{j < i}
+        m = col < row
+    elif mode == "suffix_excl":  # sum_{j > i}
+        m = col > row
+    elif mode == "suffix_incl":  # sum_{j >= i}
+        m = col >= row
+    else:
+        raise ValueError(mode)
+    return m.astype(jnp.float32)
+
+
+def _dotg(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _alpha_terms(bt, px_x, px_y, cfg):
+    """Shared forward/backward alpha math for one (CHUNK, D) working block.
+
+    px_x/px_y are (1, PX); per-Gaussian columns are (CHUNK, 1); the cross
+    terms are (CHUNK, PX).
+    """
+    mx = bt[:, COL_MX : COL_MX + 1]
+    my = bt[:, COL_MY : COL_MY + 1]
+    ca = bt[:, COL_CA : COL_CA + 1]
+    cb = bt[:, COL_CB : COL_CB + 1]
+    cc = bt[:, COL_CC : COL_CC + 1]
+    op = bt[:, COL_OP : COL_OP + 1]
+    depth = bt[:, COL_DEPTH : COL_DEPTH + 1]
+    colors = bt[:, COL_COLOR : COL_COLOR + cfg.num_channels]  # (CHUNK, C)
+    dx = mx - px_x  # (CHUNK, PX)
+    dy = my - px_y
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    g = jnp.exp(jnp.minimum(power, 0.0))
+    alpha = jnp.minimum(MAX_ALPHA, op * g)
+    candidate = (power <= 0.0) & (alpha >= ALPHA_CUTOFF)
+    return dict(
+        dx=dx, dy=dy, g=g, alpha=alpha, candidate=candidate,
+        ca=ca, cb=cb, cc=cc, op=op, depth=depth, colors=colors,
+    )
+
+
+def _tile_range(tile_start_ref, tile_count_ref):
+    """(aligned_start, head_skip, count, nchunks) for the current tile."""
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    t = ty * pl.num_programs(1) + tx
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    aligned = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    head = start - aligned
+    nchunks = pl.cdiv(head + count, CHUNK)
+    return aligned, head, count, nchunks
+
+
+def _pixel_coords(cfg):
+    """Pixel coordinates as (1, PX) rows (pixels on lanes)."""
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    p_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.px), 1)
+    px_y = (ty * cfg.tile_h + p_ids // cfg.tile_w).astype(jnp.float32)
+    px_x = (tx * cfg.tile_w + p_ids % cfg.tile_w).astype(jnp.float32)
+    return px_x, px_y
+
+
+def _ntx(cfg):
+    return cfg.grid_w
+
+
+def _scalar_spec(cfg):
+    """Per-tile (1, PX) scalar image block; unit middle dim satisfies the
+    Mosaic trailing-dims divisibility rule."""
+    return pl.BlockSpec(
+        (1, 1, cfg.px), lambda i, j, *_: (i * _ntx(cfg) + j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+# --------------------------------------------------------------------------
+# Forward kernel
+# --------------------------------------------------------------------------
+def _fwd_kernel(cfg: CompositeConfig):
+    num_ch = cfg.num_channels
+
+    def kernel(
+        tile_start_ref,
+        tile_count_ref,
+        pairs_hbm,  # (D, P_pad) ANY
+        bg_ref,  # VMEM (C, 1)
+        out_color_ref,  # (1, C, PX)
+        out_depth_ref,  # (1, 1, PX)
+        out_t_ref,  # (1, 1, PX)
+        out_contrib_ref,  # (1, 1, PX) int32
+        chunk_buf,  # VMEM (2, D, CHUNK)
+        cacc_ref,  # VMEM (C, PX) accumulator
+        sems,  # DMA (2,)
+    ):
+        aligned, head, count, nchunks = _tile_range(tile_start_ref, tile_count_ref)
+        px_x, px_y = _pixel_coords(cfg)
+        m_pre = _tri("prefix_excl")
+        cacc_ref[:] = jnp.zeros((num_ch, cfg.px), jnp.float32)
+
+        def dma(slot, k):
+            return pltpu.make_async_copy(
+                pairs_hbm.at[:, pl.ds(aligned + k * CHUNK, CHUNK)],
+                chunk_buf.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(nchunks > 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(k, state):
+            T, dmed, done_f, last = state  # all (1, PX); done_f is 0/1 f32
+            done = done_f > 0.0
+            slot = k % 2
+
+            @pl.when(k + 1 < nchunks)
+            def _():
+                dma((k + 1) % 2, k + 1).start()
+
+            dma(slot, k).wait()
+            bt = chunk_buf[slot].T  # (CHUNK, D)
+            a = _alpha_terms(bt, px_x, px_y, cfg)
+
+            # Sublane j corresponds to aligned-range index k*CHUNK + j; the
+            # true range occupies [head, head + count).
+            j_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + k * CHUNK
+            row_valid = (j_ids >= head) & (j_ids < head + count)
+            candidate = a["candidate"] & row_valid
+            alpha_c = jnp.where(candidate, a["alpha"], 0.0)  # (CHUNK, PX)
+            l = jnp.log1p(-alpha_c)
+            t_j = T * jnp.exp(_dotg(m_pre, l, ((1,), (0,))))
+            test_t = t_j * (1.0 - alpha_c)
+            terminate = candidate & (test_t < T_EPS)
+            term_before = _dotg(
+                m_pre, terminate.astype(jnp.float32), ((1,), (0,))
+            ) > 0.0
+            contribute = candidate & (~terminate) & (~term_before) & (~done)
+            w = jnp.where(contribute, alpha_c * t_j, 0.0)  # (CHUNK, PX)
+
+            # (CHUNK, C)^T x (CHUNK, PX) -> (C, PX), accumulated in VMEM.
+            cacc_ref[:] = cacc_ref[:] + _dotg(a["colors"], w, ((0,), (0,)))
+
+            hit = (contribute & (t_j > 0.5) & (test_t < 0.5)).astype(jnp.float32)
+            dhit = _dotg(a["depth"], hit, ((0,), (0,)))  # (1, PX)
+            anyhit = jnp.sum(hit, axis=0, keepdims=True)
+            dmed = dmed * (1.0 - jnp.minimum(anyhit, 1.0)) + dhit
+
+            lw = jnp.where(contribute, l, 0.0)
+            T = T * jnp.exp(jnp.sum(lw, axis=0, keepdims=True))
+            # Carried as f32: an i1 (1, PX) loop carry fails Mosaic layout
+            # legalization (roll/unroll of mask vectors).
+            done_f = jnp.maximum(
+                done_f, jnp.sum(terminate.astype(jnp.float32), axis=0, keepdims=True)
+            )
+            gidx = (j_ids - head + 1).astype(jnp.float32)  # (CHUNK, 1) 1-based
+            last = jnp.maximum(
+                last,
+                jnp.max(jnp.where(contribute, gidx, 0.0), axis=0, keepdims=True),
+            )
+            return (T, dmed, done_f, last)
+
+        init = (
+            jnp.ones((1, cfg.px), jnp.float32),
+            jnp.full((1, cfg.px), MEDIAN_DEPTH_INIT, jnp.float32),
+            jnp.zeros((1, cfg.px), jnp.float32),
+            jnp.zeros((1, cfg.px), jnp.float32),
+        )
+        T, dmed, _, last = jax.lax.fori_loop(0, nchunks, body, init)
+
+        out_color_ref[0] = cacc_ref[:] + bg_ref[:] * T
+        out_depth_ref[0] = dmed
+        out_t_ref[0] = T
+        out_contrib_ref[0] = last.astype(jnp.int32)
+
+    return kernel
+
+
+def _fwd_pallas(cfg: CompositeConfig, pair_data, bg, tile_start, tile_count):
+    nt = cfg.num_tiles
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cfg.grid_h, cfg.grid_w),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # pairs (D, P_pad)
+            pl.BlockSpec(
+                (cfg.num_channels, 1), lambda i, j, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, cfg.num_channels, cfg.px),
+                lambda i, j, *_: (i * _ntx(cfg) + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            _scalar_spec(cfg),
+            _scalar_spec(cfg),
+            _scalar_spec(cfg),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, cfg.row_width, CHUNK), jnp.float32),
+            pltpu.VMEM((cfg.num_channels, cfg.px), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((nt, cfg.num_channels, cfg.px), jnp.float32),
+        jax.ShapeDtypeStruct((nt, 1, cfg.px), jnp.float32),
+        jax.ShapeDtypeStruct((nt, 1, cfg.px), jnp.float32),
+        jax.ShapeDtypeStruct((nt, 1, cfg.px), jnp.int32),
+    ]
+    color, depth, final_t, n_contrib = pl.pallas_call(
+        _fwd_kernel(cfg),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=cfg.interpret,
+    )(tile_start, tile_count, pair_data, bg.reshape(cfg.num_channels, 1))
+    return color, depth[:, 0], final_t[:, 0], n_contrib[:, 0]
+
+
+# --------------------------------------------------------------------------
+# Backward kernel
+# --------------------------------------------------------------------------
+def _bwd_kernel(cfg: CompositeConfig):
+    num_ch = cfg.num_channels
+
+    def kernel(
+        tile_start_ref,
+        tile_count_ref,
+        pairs_hbm,  # (D, P_pad) ANY
+        bg_ref,  # (C, 1)
+        gcolor_ref,  # (1, C, PX) upstream grad, tile-major
+        final_t_ref,  # (1, 1, PX)
+        n_contrib_ref,  # (1, 1, PX) int32
+        grads_hbm,  # OUT: (D, P_pad) ANY
+        chunk_buf,  # VMEM (2, D, CHUNK)
+        gbuf,  # VMEM (D, CHUNK)
+        obuf,  # VMEM (D, CHUNK) — head merge scratch
+        sems,  # DMA (2,)
+        out_sem,  # DMA ()
+        head_sem,  # DMA ()
+    ):
+        aligned, head, count, nchunks = _tile_range(tile_start_ref, tile_count_ref)
+        px_x, px_y = _pixel_coords(cfg)
+        m_suf_in = _tri("suffix_incl")
+        m_suf_ex = _tri("suffix_excl")
+
+        ghat = gcolor_ref[0]  # (C, PX)
+        t_final = final_t_ref[0]  # (1, PX)
+        n_contrib = n_contrib_ref[0].astype(jnp.float32)  # (1, PX)
+        bgdot = _dotg(bg_ref[:], ghat, ((0,), (0,)))  # (1, PX)
+
+        def dma_in(slot, k):
+            return pltpu.make_async_copy(
+                pairs_hbm.at[:, pl.ds(aligned + k * CHUNK, CHUNK)],
+                chunk_buf.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(nchunks > 0)
+        def _():
+            dma_in(0, nchunks - 1).start()
+
+        def body(i, carry):
+            # b: (1, PX) transmittance after this chunk's Gaussians.
+            # s: (1, PX) sum of w*q over all LATER chunks (the cross-chunk
+            #    part of CUDA's accum_rec recurrence, backward.cu:496-516).
+            b, s = carry
+            k = nchunks - 1 - i  # chunks walked back-to-front
+            slot = i % 2
+
+            @pl.when(i + 1 < nchunks)
+            def _():
+                dma_in((i + 1) % 2, k - 1).start()
+
+            dma_in(slot, k).wait()
+            bt = chunk_buf[slot].T  # (CHUNK, D)
+            a = _alpha_terms(bt, px_x, px_y, cfg)
+
+            j_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + k * CHUNK
+            gidx0 = (j_ids - head).astype(jnp.float32)  # 0-based true index
+            contribute = (
+                a["candidate"] & (gidx0 >= 0.0) & (gidx0 < n_contrib)
+            )  # (CHUNK, PX)
+            alpha_c = jnp.where(contribute, a["alpha"], 0.0)
+            l = jnp.log1p(-alpha_c)
+            # T before j = B / prod_{i >= j} (1 - alpha_i)
+            t_j = b * jnp.exp(-_dotg(m_suf_in, l, ((1,), (0,))))
+            w = alpha_c * t_j
+
+            q = _dotg(a["colors"], ghat, ((1,), (0,)))  # (CHUNK, PX)
+            wq = w * q
+            u = _dotg(m_suf_ex, wq, ((1,), (0,))) + s  # strict suffix, global
+            inv1ma = 1.0 / (1.0 - alpha_c)
+            dalpha = jnp.where(
+                contribute,
+                t_j * q - u * inv1ma - t_final * bgdot * inv1ma,
+                0.0,
+            )
+            # CUDA parity: alpha = op*G, 0.99 clamp ignored in backward.
+            dldp = a["op"] * dalpha * a["g"]  # dL/dpower
+            dop = jnp.sum(a["g"] * dalpha, axis=1, keepdims=True)  # (CHUNK, 1)
+            gx = -(a["ca"] * a["dx"] + a["cb"] * a["dy"])
+            gy = -(a["cc"] * a["dy"] + a["cb"] * a["dx"])
+            dmx = jnp.sum(dldp * gx, axis=1, keepdims=True)
+            dmy = jnp.sum(dldp * gy, axis=1, keepdims=True)
+            dca = jnp.sum(dldp * (-0.5 * a["dx"] * a["dx"]), axis=1, keepdims=True)
+            dcb = jnp.sum(dldp * (-a["dx"] * a["dy"]), axis=1, keepdims=True)
+            dcc = jnp.sum(dldp * (-0.5 * a["dy"] * a["dy"]), axis=1, keepdims=True)
+            dcolor = _dotg(w, ghat, ((1,), (1,)))  # (CHUNK, C)
+
+            pad = cfg.row_width - (COL_COLOR + num_ch)
+            pieces = [
+                dmx, dmy, dca, dcb, dcc, dop,
+                jnp.zeros((CHUNK, 2), jnp.float32), dcolor,
+            ]
+            if pad:
+                pieces.append(jnp.zeros((CHUNK, pad), jnp.float32))
+            grow = jnp.concatenate(pieces, axis=1)  # (CHUNK, D)
+            gbuf[:] = grow.T  # (D, CHUNK)
+
+            # Head merge: the first CHUNK block may include columns owned by
+            # the previous tile (already final — ascending tile order). Read
+            # them back and preserve.
+            @pl.when((k == 0) & (head > 0))
+            def _():
+                rd = pltpu.make_async_copy(
+                    grads_hbm.at[:, pl.ds(aligned, CHUNK)], obuf, head_sem
+                )
+                rd.start()
+                rd.wait()
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                gbuf[:] = jnp.where(col < head, obuf[:], gbuf[:])
+
+            wr = pltpu.make_async_copy(
+                gbuf, grads_hbm.at[:, pl.ds(aligned + k * CHUNK, CHUNK)], out_sem
+            )
+            wr.start()
+            wr.wait()
+
+            # Remove this chunk's product -> T after the previous chunk.
+            b = b * jnp.exp(-jnp.sum(l, axis=0, keepdims=True))
+            s = s + jnp.sum(wq, axis=0, keepdims=True)
+            return (b, s)
+
+        jax.lax.fori_loop(
+            0, nchunks, body, (t_final, jnp.zeros((1, cfg.px), jnp.float32))
+        )
+
+    return kernel
+
+
+def _bwd_pallas(
+    cfg: CompositeConfig, pair_data, bg, tile_start, tile_count,
+    g_color, final_t, n_contrib,
+):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cfg.grid_h, cfg.grid_w),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # pairs
+            pl.BlockSpec(
+                (cfg.num_channels, 1), lambda i, j, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, cfg.num_channels, cfg.px),
+                lambda i, j, *_: (i * _ntx(cfg) + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            _scalar_spec(cfg),
+            _scalar_spec(cfg),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, cfg.row_width, CHUNK), jnp.float32),
+            pltpu.VMEM((cfg.row_width, CHUNK), jnp.float32),
+            pltpu.VMEM((cfg.row_width, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _bwd_kernel(cfg),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(pair_data.shape, jnp.float32)],
+        interpret=cfg.interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        tile_start, tile_count, pair_data,
+        bg.reshape(cfg.num_channels, 1), g_color,
+        final_t[:, None, :], n_contrib[:, None, :],
+    )[0]
+
+
+# --------------------------------------------------------------------------
+# custom_vjp wrapper
+# --------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def composite_pairs(cfg: CompositeConfig, pair_data, bg, tile_start, tile_count):
+    """Composite sorted pair columns into tile-major image buffers.
+
+    Args:
+      cfg: static CompositeConfig.
+      pair_data: [D, P_pad] float32, transposed SoA layout (see module doc);
+        D == cfg.row_width, P_pad a multiple of CHUNK with at least one
+        zero-opacity CHUNK of padding past the last valid pair (pad_pair_cols).
+      bg: [C] background color.
+      tile_start / tile_count: [num_tiles] int32.
+
+    Returns:
+      (color [T, C, PX], depth [T, PX], final_T [T, PX], n_contrib int32
+      [T, PX]) in tile-major order. Gradients flow to pair_data and bg;
+      depth/final_T/n_contrib cotangents are ignored (reference parity: the
+      CUDA backward has no depth grad).
+    """
+    return tuple(_fwd_pallas(cfg, pair_data, bg, tile_start, tile_count))
+
+
+def _composite_fwd(cfg, pair_data, bg, tile_start, tile_count):
+    color, depth, final_t, n_contrib = _fwd_pallas(
+        cfg, pair_data, bg, tile_start, tile_count
+    )
+    res = (pair_data, bg, tile_start, tile_count, final_t, n_contrib)
+    return (color, depth, final_t, n_contrib), res
+
+
+def _composite_bwd(cfg, res, cts):
+    pair_data, bg, tile_start, tile_count, final_t, n_contrib = res
+    g_color = cts[0]
+    d_pairs = _bwd_pallas(
+        cfg, pair_data, bg, tile_start, tile_count, g_color, final_t, n_contrib
+    )
+    # bg only enters as out = C + T*bg  =>  d_bg[c] = sum_px T_final * g[t,c,px]
+    d_bg = jnp.einsum("tp,tcp->c", final_t, g_color)
+    f0 = lambda x: np.zeros(x.shape, _jax_dtypes.float0)
+    return d_pairs, d_bg, f0(tile_start), f0(tile_count)
+
+
+composite_pairs.defvjp(_composite_fwd, _composite_bwd)
+
+
+def pad_pair_cols(pair_data: jnp.ndarray, cfg: CompositeConfig) -> jnp.ndarray:
+    """Pad (D, P): D up to cfg.row_width (8-aligned sublanes) and P by one
+    extra CHUNK so chunked DMA never reads out of bounds."""
+    d, p = pair_data.shape
+    pad_p = CHUNK + (-p) % CHUNK
+    return jnp.pad(pair_data, ((0, cfg.row_width - d), (0, pad_p)))
