@@ -1,0 +1,68 @@
+"""Headline benchmark: rays/s per chip, forward+backward, 640x480.
+
+Prints ONE JSON line {metric, value, unit, vs_baseline, ...}. Runs the full
+differentiable path (projection -> binning -> Pallas composite fwd -> bwd ->
+segment-sum -> Adam-style grad reduction) on a synthetic 100k-Gaussian scene
+at ScanNet eval resolution (BASELINE.md north star). vs_baseline is measured
+against a nominal 1e8 rays/s for the CUDA reference's fwd+bwd on its dev GPU
+(RTX 4090; the reference publishes no throughput numbers — BASELINE.md).
+"""
+import json
+import sys
+import time
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_gaussians_tpu.core.gaussians import init_from_pcd
+    from semantic_gaussians_tpu.renderer import render
+    from semantic_gaussians_tpu.utils.camera import make_camera
+
+    w, h = 640, 480
+    n = 100_000
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * np.array(
+        [1.6, 1.1, 1.0], np.float32
+    ) + np.array([0, 0, 4], np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    params, alive = init_from_pcd(pts, cols, sh_degree=3)
+    cam = make_camera(np.eye(3), np.zeros(3), 1.4, 1.1, w, h)
+    target = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+
+    def loss(params):
+        out = render(cam, params, alive=alive)
+        return jnp.mean((out["render"] - target) ** 2)
+
+    step = jax.jit(jax.grad(loss))
+    g = jax.block_until_ready(step(params))  # compile
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = step(params)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+
+    rays_per_s = w * h / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rays/s per chip (fwd+bwd), 640x480, 100k Gaussians",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / 1e8, 4),
+                "step_ms": round(dt * 1e3, 2),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

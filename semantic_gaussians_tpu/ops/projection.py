@@ -105,6 +105,9 @@ def project_gaussians(
     cov3d_precomp: Optional[jnp.ndarray] = None,  # [N, 6] packed
     scaling_modifier: float = 1.0,
     alive: Optional[jnp.ndarray] = None,  # [N] bool
+    mean2d_offset: Optional[jnp.ndarray] = None,  # [N, 2] zeros; its grad is
+    # dL/dmean2D — the functional analogue of the reference's dummy
+    # screenspace_points tensor (renderer.py:37-41) used for densify stats.
 ) -> ProjectedGaussians:
     """Project all Gaussians to screen space. Culled entries get radius 0 and
     opacity 0, so downstream stages can treat them uniformly (no compaction —
@@ -130,6 +133,8 @@ def project_gaussians(
         ],
         axis=-1,
     )
+    if mean2d_offset is not None:
+        means2d = means2d + mean2d_offset
 
     # 3D covariance.
     if cov3d_precomp is not None:

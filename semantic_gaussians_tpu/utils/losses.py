@@ -10,6 +10,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -29,10 +30,11 @@ def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _gaussian_window(window_size: int, sigma: float):
-    xs = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
-    g = jnp.exp(-(xs**2) / (2 * sigma**2))
-    g = g / jnp.sum(g)
-    return g
+    # NumPy on purpose: jnp here would cache a tracer when first called
+    # under jit (UnexpectedTracerError on reuse).
+    xs = np.arange(window_size, dtype=np.float32) - window_size // 2
+    g = np.exp(-(xs**2) / (2 * sigma**2))
+    return g / g.sum()  # numpy constant; jnp.asarray here would cache tracers
 
 
 def _depthwise_blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
