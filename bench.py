@@ -21,9 +21,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from semantic_gaussians_tpu.core.gaussians import init_from_pcd
+    
     from semantic_gaussians_tpu.renderer import render
     from semantic_gaussians_tpu.utils.camera import make_camera
+
+    from semantic_gaussians_tpu.core.gaussians import GaussianParams
 
     w, h = 640, 480
     n = 100_000
@@ -32,7 +34,23 @@ def main():
         [1.6, 1.1, 1.0], np.float32
     ) + np.array([0, 0, 4], np.float32)
     cols = rng.uniform(size=(n, 3)).astype(np.float32)
-    params, alive = init_from_pcd(pts, cols, sh_degree=3)
+    # Build params directly (no 3-NN init: it runs once per scene and its
+    # 100k-point compile would eat the bench time budget).
+    k = 16
+    sh_dc = ((jnp.asarray(cols) - 0.5) / 0.28209479177387814)[:, None, :]
+    params = GaussianParams(
+        means=jnp.asarray(pts),
+        sh_dc=sh_dc,
+        sh_rest=jnp.zeros((n, k - 1, 3)),
+        log_scales=jnp.asarray(
+            rng.uniform(-4.5, -3.0, size=(n, 3)).astype(np.float32)
+        ),
+        quats=jnp.zeros((n, 4)).at[:, 0].set(1.0),
+        opacity_logits=jnp.asarray(
+            rng.uniform(-1.0, 1.5, size=(n, 1)).astype(np.float32)
+        ),
+    )
+    alive = jnp.ones((n,), bool)
     cam = make_camera(np.eye(3), np.zeros(3), 1.4, 1.1, w, h)
     target = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
 

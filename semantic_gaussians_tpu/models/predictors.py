@@ -1,0 +1,158 @@
+"""2D open-vocabulary predictor protocol + providers.
+
+The reference wraps four heavyweight 2D models behind one duck-typed
+protocol (SURVEY.md §2.3: OpenSeg/TF, LSeg, SAM+CLIP, VLPart+SAM — all
+`embedding_dim`, `extract_image_feature`, `extract_text_feature`,
+`set_predefined_cls`; /root/reference/model/openseg_predictor.py:16-99).
+The fusion/distill/eval core only consumes per-pixel CLIP-space feature maps
+and text embeddings, so here the protocol is explicit and the providers are:
+
+  * PrecomputedFeatureProvider — loads exported per-view feature maps
+    (.npy/.npz/.pt) from disk. This is the production path on TPU pods for
+    OpenSeg (a TensorFlow SavedModel the reference itself treats as a black
+    box) and friends: run extraction offline, fuse on-device.
+  * TorchCLIPTextEncoder — CLIP text tower via transformers (CPU torch),
+    loading from a LOCAL checkpoint path (the sandbox has no egress).
+  * RandomFeatureProvider — deterministic random features for tests.
+
+All feature maps are channel-last [H, W, C]; text features [K, C],
+L2-normalized (reference extract_text_feature, openseg_predictor.py:81-99).
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+from typing import List, Optional, Protocol, Sequence, Tuple
+
+import numpy as np
+
+
+class Predictor2D(Protocol):
+    embedding_dim: int
+
+    def extract_image_feature(
+        self, img_path: str, img_size: Tuple[int, int]
+    ) -> np.ndarray:  # [H, W, C]
+        ...
+
+    def extract_text_feature(self, labelset: Sequence[str]) -> np.ndarray:
+        ...  # [K, C] normalized
+
+
+def _resize_chw_nearest(feat_hwc: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize to (W, H) — parity with the reference's
+    F.interpolate(..., mode='nearest') on feature maps."""
+    w, h = size
+    src_h, src_w = feat_hwc.shape[:2]
+    ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
+    xs = (np.arange(w) * src_w // w).clip(0, src_w - 1)
+    return feat_hwc[ys][:, xs]
+
+
+class PrecomputedFeatureProvider:
+    """Per-view feature maps exported by an offline 2D model.
+
+    Files are looked up as <dir>/<image_stem>.{npy,npz,pt}; content is
+    [H, W, C] or [C, H, W] (auto-detected via embedding_dim).
+    """
+
+    def __init__(self, feature_dir: str, embedding_dim: int = 768):
+        self.feature_dir = Path(feature_dir)
+        self.embedding_dim = embedding_dim
+
+    def extract_image_feature(self, img_path, img_size):
+        stem = Path(img_path).stem
+        for ext in (".npy", ".npz", ".pt"):
+            p = self.feature_dir / (stem + ext)
+            if p.exists():
+                break
+        else:
+            raise FileNotFoundError(
+                f"no feature map for {stem} in {self.feature_dir}"
+            )
+        if p.suffix == ".npy":
+            feat = np.load(p)
+        elif p.suffix == ".npz":
+            data = np.load(p)
+            feat = data[list(data.keys())[0]]
+        else:
+            import torch
+
+            obj = torch.load(p, map_location="cpu", weights_only=False)
+            feat = obj["feat"] if isinstance(obj, dict) else obj
+            feat = np.asarray(feat.float())
+        if feat.ndim != 3:
+            raise ValueError(f"bad feature map shape {feat.shape}")
+        if feat.shape[0] == self.embedding_dim and feat.shape[-1] != self.embedding_dim:
+            feat = np.moveaxis(feat, 0, -1)  # CHW -> HWC
+        if img_size is not None and (feat.shape[1], feat.shape[0]) != tuple(img_size):
+            feat = _resize_chw_nearest(feat, img_size)
+        return feat.astype(np.float32)
+
+    def extract_text_feature(self, labelset):
+        raise NotImplementedError(
+            "precomputed provider has no text tower; pair with a CLIP text "
+            "encoder"
+        )
+
+
+class TorchCLIPTextEncoder:
+    """CLIP text tower (transformers, CPU torch) from a LOCAL checkpoint.
+
+    Parity with the reference's extract_text_feature
+    (openseg_predictor.py:81-99): tokenizes 'a photo of a {label}'-free raw
+    labels (the reference encodes the raw label strings), L2-normalizes.
+    """
+
+    def __init__(self, model_path: str, embedding_dim: int = 768):
+        from transformers import CLIPModel, CLIPProcessor
+
+        self.model = CLIPModel.from_pretrained(model_path)
+        self.processor = CLIPProcessor.from_pretrained(model_path)
+        self.embedding_dim = embedding_dim
+
+    def extract_text_feature(self, labelset):
+        import torch
+
+        with torch.no_grad():
+            inputs = self.processor(
+                text=list(labelset), return_tensors="pt", padding=True
+            )
+            feats = self.model.get_text_features(**inputs)
+            feats = feats / feats.norm(dim=-1, keepdim=True)
+        return feats.numpy().astype(np.float32)
+
+    def extract_image_feature(self, img_path, img_size):
+        raise NotImplementedError("text-only encoder")
+
+
+class RandomFeatureProvider:
+    """Deterministic random features keyed by file path (tests/benchmarks)."""
+
+    def __init__(self, embedding_dim: int = 16, feat_hw: Tuple[int, int] = (60, 80)):
+        self.embedding_dim = embedding_dim
+        self.feat_hw = feat_hw
+
+    def _rng(self, key: str):
+        seed = int.from_bytes(
+            hashlib.sha256(key.encode()).digest()[:4], "little"
+        )
+        return np.random.default_rng(seed)
+
+    def extract_image_feature(self, img_path, img_size):
+        rng = self._rng(str(img_path))
+        h, w = self.feat_hw
+        feat = rng.normal(size=(h, w, self.embedding_dim)).astype(np.float32)
+        if img_size is not None:
+            feat = _resize_chw_nearest(feat, img_size)
+        return feat
+
+    def extract_text_feature(self, labelset):
+        feats = np.stack(
+            [
+                self._rng("text:" + l).normal(size=self.embedding_dim)
+                for l in labelset
+            ]
+        ).astype(np.float32)
+        return feats / np.linalg.norm(feats, axis=-1, keepdims=True)

@@ -76,27 +76,37 @@ def bin_gaussians(
     nty, ntx = grid_shape
     num_tiles = nty * ntx
 
+    # Pre-sort Gaussians by depth ONCE (N elements), emit pairs in depth
+    # order, then a SINGLE-KEY STABLE sort by tile id gives per-tile
+    # depth-ordered lists — much cheaper than a 2-key lexicographic sort of
+    # the full pair list (the cub radix-sort analogue, rasterizer_impl.cu:302).
+    depth_order = jnp.argsort(
+        jnp.where(radii > 0, depths, jnp.inf)
+    ).astype(jnp.int32)
+
     x0, x1, y0, y1, counts = tile_rects(means2d, radii, tile_shape, grid_shape)
-    cum = jnp.cumsum(counts)  # inclusive
+    counts_d = counts[depth_order]
+    x0d, x1d, y0d = x0[depth_order], x1[depth_order], y0[depth_order]
+    cum = jnp.cumsum(counts_d)  # inclusive
     total = cum[-1]
-    offsets = cum - counts  # exclusive
+    offsets = cum - counts_d  # exclusive
 
     pair_idx = jnp.arange(pair_budget, dtype=jnp.int32)
-    # Gaussian owning each pair slot; slots >= total map past the end.
+    # Depth-ranked gaussian owning each pair slot.
     g = jnp.searchsorted(cum, pair_idx, side="right").astype(jnp.int32)
     valid = pair_idx < jnp.minimum(total, pair_budget)
     g_safe = jnp.clip(g, 0, n - 1)
     local = pair_idx - offsets[g_safe]
-    w = jnp.maximum(x1[g_safe] - x0[g_safe], 1)
-    tx = x0[g_safe] + local % w
-    ty = y0[g_safe] + local // w
+    w = jnp.maximum(x1d[g_safe] - x0d[g_safe], 1)
+    tx = x0d[g_safe] + local % w
+    ty = y0d[g_safe] + local // w
     tile = ty * ntx + tx
     tile = jnp.where(valid, tile, num_tiles)
-    depth_key = jnp.where(valid, depths[g_safe], jnp.inf)
-    g_key = jnp.where(valid, g_safe, n)
+    g_orig = depth_order[g_safe]
+    g_key = jnp.where(valid, g_orig, n)
 
-    sorted_tile, _, sorted_g = jax.lax.sort(
-        (tile, depth_key, g_key), num_keys=2
+    sorted_tile, sorted_g = jax.lax.sort(
+        (tile, g_key), num_keys=1, is_stable=True
     )
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)

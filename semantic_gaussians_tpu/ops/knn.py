@@ -61,8 +61,17 @@ def knn_mean_sq_dist(
             d2 = jnp.where(qidx[:, None] == pidx[None, :], _NEG_BIG, d2)
             d2 = jnp.maximum(d2, 0.0)
             merged = jnp.concatenate([best, d2], axis=1)
-            # keep k smallest: top_k of negated values
-            best_new = -jax.lax.top_k(-merged, k)[0]
+            # k smallest via k min-extractions (k is tiny; avoids lax.top_k's
+            # full sort network, which dominates TPU compile time here)
+            mins = []
+            for _ in range(k):
+                m = jnp.min(merged, axis=1, keepdims=True)
+                mins.append(m)
+                # mask out one occurrence of the current min
+                hit = merged == m
+                first = jnp.cumsum(hit, axis=1) == 1
+                merged = jnp.where(hit & first, _NEG_BIG, merged)
+            best_new = jnp.concatenate(mins, axis=1)
             return best_new, None
 
         init = jnp.full((qb.shape[0], k), _NEG_BIG, qb.dtype)
