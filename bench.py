@@ -21,6 +21,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: TPU kernel compiles go through a slow remote
+    # AOT service here; caching makes reruns (and the driver's bench) fast.
+    cache_dir = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     
     from semantic_gaussians_tpu.renderer import render
     from semantic_gaussians_tpu.utils.camera import make_camera

@@ -1,0 +1,158 @@
+"""Open-vocabulary segmentation evaluation (mIoU / mAcc).
+
+Parity: /root/reference/eval_segmentation.py — five modes (:51-60):
+  '2d'        fused per-Gaussian features
+  '3d'        distilled UNet output (voxel -> Gaussian scatter-back)
+  '2d_and_3d' ensemble: 'concat' (feature concat) or 'argmax' (max of sims)
+  'pretrained' 2D model directly on eval views
+  'labelmap'  precomputed per-view label images
+and two prediction paths per mode (:131-157):
+  pred_on_3d=True : per-Gaussian argmax -> render one-hot class vectors ->
+                    per-pixel argmax
+  pred_on_3d=False: render raw features -> normalize -> dot text -> argmax
+Text matrix has 'other' prepended at row 0 (render_utils.py:9-23); predicted
+train-ids are the argmax index - 1, with 'other'/unlabeled mapping to the
+confusion matrix's unlabeled column (metric.py semantics).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.gaussians import GaussianParams
+from ..renderer import render_chn
+from ..utils.camera import Camera
+from ..utils.metrics import confusion_matrix, evaluate_confusion
+
+
+def text_feature_matrix(text_encoder, class_labels: Sequence[str]) -> np.ndarray:
+    """[K+1, D] normalized text features with 'other' at row 0."""
+    labelset = ["other"] + list(class_labels)
+    feats = text_encoder.extract_text_feature(labelset)
+    return np.asarray(feats, np.float32)
+
+
+def _normalize(x, axis=-1, eps=1e-8):
+    return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + eps)
+
+
+def predict_label_image(
+    camera: Camera,
+    params: GaussianParams,
+    alive: jnp.ndarray,
+    gauss_feats: jnp.ndarray,  # [cap, D]
+    text: jnp.ndarray,  # [K+1, D] ('other' row 0)
+    pred_on_3d: bool = False,
+    backend: str = "pallas",
+    tile_shape=(8, 128),
+) -> jnp.ndarray:
+    """[H, W] int32 predicted ids in [0, K]; K = unlabeled/other
+    (class ids 0-based, 'other'/empty mapped to K)."""
+    kp1 = text.shape[0]
+    num_classes = kp1 - 1
+    if pred_on_3d:
+        sims = _normalize(gauss_feats) @ text.T  # [cap, K+1]
+        cls = jnp.argmax(sims, axis=-1)  # 0 = other
+        onehot = jax.nn.one_hot(cls, kp1) * alive[:, None]
+        out = render_chn(
+            camera, params, onehot, alive=alive, backend=backend,
+            tile_shape=tile_shape,
+        )
+        pix = jnp.argmax(out["render"], axis=-1)  # [H, W] in [0, K]
+    else:
+        out = render_chn(
+            camera, params, gauss_feats, alive=alive, backend=backend,
+            tile_shape=tile_shape,
+        )
+        pf = _normalize(out["render"])  # [H, W, D]
+        sims = jnp.einsum("hwd,kd->hwk", pf, text)
+        pix = jnp.argmax(sims, axis=-1)
+    # 0 ('other') -> num_classes (unlabeled col); else id - 1
+    return jnp.where(pix == 0, num_classes, pix - 1).astype(jnp.int32)
+
+
+def ensemble_features(
+    feats_2d: jnp.ndarray, feats_3d: jnp.ndarray, mode: str = "concat"
+):
+    """'concat' ensemble: stacked normalized features (text is tiled by the
+    caller); for 'argmax' use ensemble_sims (eval_segmentation.py:361-443)."""
+    if mode != "concat":
+        raise ValueError("use ensemble_sims for argmax mode")
+    return jnp.concatenate(
+        [_normalize(feats_2d), _normalize(feats_3d)], axis=-1
+    )
+
+
+def ensemble_argmax_class(
+    feats_2d: jnp.ndarray, feats_3d: jnp.ndarray, text: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-Gaussian class by max similarity over both feature sets."""
+    s2 = _normalize(feats_2d) @ text.T
+    s3 = _normalize(feats_3d) @ text.T
+    return jnp.argmax(jnp.maximum(s2, s3), axis=-1)
+
+
+def voxel_feats_to_gaussians(
+    voxel_feats: np.ndarray, inverse: np.ndarray, n_gaussians: int, cap: int
+) -> jnp.ndarray:
+    """Scatter per-voxel UNet outputs back to per-Gaussian features via the
+    voxelizer's point->voxel map (eval '3d' mode)."""
+    out = np.zeros((cap, voxel_feats.shape[-1]), np.float32)
+    out[:n_gaussians] = np.asarray(voxel_feats)[inverse[:n_gaussians]]
+    return jnp.asarray(out)
+
+
+@dataclasses.dataclass
+class EvalAccumulator:
+    num_classes: int
+    confusion: np.ndarray = None
+
+    def __post_init__(self):
+        if self.confusion is None:
+            self.confusion = np.zeros(
+                (self.num_classes, self.num_classes + 1), np.int64
+            )
+
+    def add_view(self, pred_ids: np.ndarray, gt_ids: np.ndarray):
+        """pred/gt [H, W]; ids in [0, num_classes] (num_classes = unlabeled)."""
+        self.confusion += confusion_matrix(
+            pred_ids.reshape(-1), gt_ids.reshape(-1), self.num_classes
+        )
+
+    def report(self, class_names, stdout=True, log_file=None, dataset="eval"):
+        return evaluate_confusion(
+            self.confusion, class_names, stdout=stdout, dataset=dataset,
+            log_file=log_file,
+        )
+
+
+def eval_views(
+    cameras: Sequence[Camera],
+    gt_label_images: Sequence[np.ndarray],
+    params: GaussianParams,
+    alive: jnp.ndarray,
+    gauss_feats: jnp.ndarray,
+    text: np.ndarray,
+    class_labels: Sequence[str],
+    pred_on_3d: bool = False,
+    backend: str = "pallas",
+    stdout: bool = False,
+    log_file: Optional[str] = None,
+):
+    """Evaluate one scene over its views. Returns (mIoU, mAcc, confusion)."""
+    num_classes = len(class_labels)
+    acc = EvalAccumulator(num_classes)
+    text_j = jnp.asarray(text)
+    for cam, gt in zip(cameras, gt_label_images):
+        pred = predict_label_image(
+            cam, params, alive, gauss_feats, text_j, pred_on_3d, backend
+        )
+        acc.add_view(np.asarray(pred), np.asarray(gt))
+    miou, macc = acc.report(
+        class_labels, stdout=stdout, log_file=log_file
+    )
+    return miou, macc, acc.confusion

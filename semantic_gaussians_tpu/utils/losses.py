@@ -91,9 +91,16 @@ def photometric_loss(
 
 
 def cosine_distill_loss(pred: jnp.ndarray, target: jnp.ndarray, mask=None):
-    """1 - cosine similarity, averaged over valid rows (distill.py:111-124)."""
-    pn = pred / (jnp.linalg.norm(pred, axis=-1, keepdims=True) + 1e-8)
-    tn = target / (jnp.linalg.norm(target, axis=-1, keepdims=True) + 1e-8)
+    """1 - cosine similarity, averaged over valid rows (distill.py:111-124).
+
+    sqrt(sum+eps) norms: jnp.linalg.norm has a NaN gradient at exactly 0,
+    and masked-out (dead-voxel) rows are exactly 0 — 0 * NaN still poisons
+    reverse-mode.
+    """
+    pn = pred / jnp.sqrt(jnp.sum(pred * pred, axis=-1, keepdims=True) + 1e-12)
+    tn = target / jnp.sqrt(
+        jnp.sum(target * target, axis=-1, keepdims=True) + 1e-12
+    )
     per_row = 1.0 - jnp.sum(pn * tn, axis=-1)
     if mask is None:
         mask = jnp.linalg.norm(target, axis=-1) > 0
