@@ -170,6 +170,34 @@ def opacity_reset_step(state: TrainState) -> TrainState:
     return dataclasses.replace(state, params=params, adam=adam)
 
 
+def grow_capacity(state: TrainState, factor: int = 2) -> TrainState:
+    """Host-side capacity doubling (planned recompile; DESIGN.md).
+
+    Pads every capacity-sized leaf; dead slots get inert opacity logits and
+    zero moments — densify then fills them."""
+    cap = state.params.capacity
+    new_cap = cap * factor
+
+    def pad(x, fill=0.0):
+        if x.ndim == 0 or x.shape[0] != cap:
+            return x
+        pad_width = [(0, new_cap - cap)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad_width, constant_values=fill)
+
+    params = jax.tree.map(pad, state.params)
+    params = dataclasses.replace(
+        params,
+        opacity_logits=params.opacity_logits.at[cap:].set(-20.0),
+    )
+    return TrainState(
+        params=params,
+        alive=pad(state.alive, False),
+        adam=jax.tree.map(pad, state.adam),
+        dstate=jax.tree.map(pad, state.dstate),
+        step=state.step,
+    )
+
+
 def train_loop(
     state: TrainState,
     cameras: list,
@@ -215,6 +243,9 @@ def train_loop(
                     state, sub, scene_extent, cfg,
                     use_screen_size=it > cfg.opacity_reset_interval,
                 )
+                # planned capacity doubling when the buffer fills up
+                if int(num_alive(state.alive)) > 0.85 * state.params.capacity:
+                    state = grow_capacity(state)
         if it % cfg.opacity_reset_interval == 0 and it <= cfg.densify_until_iter:
             state = opacity_reset_step(state)
         if log_every and it % log_every == 0:

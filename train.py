@@ -1,0 +1,129 @@
+"""RGB 3DGS training entry point.
+
+Usage (reference train.py parity):
+    python train.py <config.yaml> [key=value ...]
+e.g.
+    python train.py semantic_gaussians_tpu/config/yamls/official_train.yaml \
+        scene.scene_path=/data/scene0000_00 train.exp_name=run1
+"""
+import sys
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    if jax.default_backend() != "cpu":
+        # TPU-only: cached CPU executables are not portable across hosts
+        repo = pathlib.Path(__file__).resolve().parent
+        jax.config.update("jax_compilation_cache_dir", str(repo / ".jax_cache"))
+
+    import jax.numpy as jnp
+
+    from semantic_gaussians_tpu.config.config import load_config, pretty
+    from semantic_gaussians_tpu.core.gaussians import init_from_pcd, num_alive
+    from semantic_gaussians_tpu.io.ply import save_gaussian_ply
+    from semantic_gaussians_tpu.io.scene import load_scene, realize_camera
+    from semantic_gaussians_tpu.pipelines.train import (
+        TrainConfig,
+        init_train_state,
+        train_loop,
+    )
+    from semantic_gaussians_tpu.core.densify import DensifyConfig
+    from semantic_gaussians_tpu.core.optimizer import TrainHyper
+    from semantic_gaussians_tpu.utils.checkpoint import save_state
+    from semantic_gaussians_tpu.utils.seeding import set_seed
+
+    cfg = load_config(sys.argv[1])
+    print(pretty(cfg))
+    key = set_seed(int(cfg.pipeline.get("seed", 0)))
+
+    scene = load_scene(
+        cfg.scene.scene_path,
+        eval_split=bool(cfg.scene.get("test_cameras", True)),
+        downscale=float(cfg.scene.get("downscale_ratio", 1)),
+        images_dir=cfg.scene.get("colmap_images", "images"),
+        white_background=bool(cfg.scene.get("white_background", False)),
+    )
+    print(
+        f"scene: {len(scene.train_cameras)} train / {len(scene.test_cameras)} "
+        f"test cameras, {len(scene.points)} init points, "
+        f"extent {scene.nerf_normalization['radius']:.2f}"
+    )
+    cameras = [
+        realize_camera(c, white_background=bool(cfg.scene.get("white_background")))
+        for c in scene.train_cameras
+    ]
+
+    t = cfg.train
+    params, alive = init_from_pcd(
+        scene.points, scene.colors, sh_degree=int(cfg.model.sh_degree),
+        capacity=cfg.model.get("capacity"),
+    )
+    state = init_train_state(params, alive)
+    tc = TrainConfig(
+        hyper=TrainHyper(
+            position_lr_init=t.position_lr_init,
+            position_lr_final=t.position_lr_final,
+            position_lr_delay_mult=t.position_lr_delay_mult,
+            position_lr_max_steps=t.position_lr_max_steps,
+            feature_lr=t.feature_lr,
+            opacity_lr=t.opacity_lr,
+            scaling_lr=t.scaling_lr,
+            rotation_lr=t.rotation_lr,
+        ),
+        densify=DensifyConfig(
+            grad_threshold=t.densify_grad_threshold,
+            percent_dense=t.percent_dense,
+        ),
+        iterations=int(t.iterations),
+        lambda_dssim=float(t.lambda_dssim),
+        cut_edge=bool(t.get("cut_edge", False)),
+        densification_interval=int(t.densification_interval),
+        opacity_reset_interval=int(t.opacity_reset_interval),
+        densify_from_iter=int(t.densify_from_iter),
+        densify_until_iter=int(t.densify_until_iter),
+        max_sh_degree=int(cfg.model.sh_degree),
+        white_background=bool(cfg.scene.get("white_background", False)),
+        random_background=bool(t.get("random_background", False)),
+        spatial_lr_scale=float(scene.nerf_normalization["radius"]),
+    )
+
+    out_dir = pathlib.Path("output") / str(t.exp_name)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "config.yaml").write_text(pretty(cfg))
+
+    save_iters = set(int(i) for i in t.get("save_iterations", []))
+    ckpt_iters = set(int(i) for i in t.get("checkpoint_iterations", []))
+    backend = cfg.pipeline.get("backend", "pallas")
+    budget = cfg.pipeline.get("pair_budget")
+
+    # chunked driver so we can snapshot at save_iterations
+    done = 0
+    milestones = sorted(
+        set(list(save_iters) + list(ckpt_iters) + [int(t.iterations)])
+    )
+    for target in milestones:
+        if target <= done:
+            continue
+        state, _ = train_loop(
+            state, cameras, tc, key, scene.nerf_normalization["radius"],
+            num_iters=target - done, backend=backend, log_every=100,
+            pair_budget=budget,
+        )
+        done = target
+        if target in save_iters or target == int(t.iterations):
+            ply = out_dir / "point_cloud" / f"iteration_{target}" / "point_cloud.ply"
+            save_gaussian_ply(ply, state.params, np.asarray(state.alive))
+            print(f"saved {ply} ({int(num_alive(state.alive))} gaussians)")
+        if target in ckpt_iters:
+            save_state(out_dir / f"ckpt_{target}", state)
+            print(f"checkpointed iteration {target}")
+
+
+if __name__ == "__main__":
+    main()
