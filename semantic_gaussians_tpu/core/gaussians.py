@@ -93,7 +93,16 @@ def init_from_pcd(
     k = (sh_degree + 1) ** 2
 
     pts = jnp.asarray(points, jnp.float32)
-    dist2 = jnp.maximum(knn_mean_sq_dist(pts), 1e-7)
+    # Native C++ grid-hash KNN when available (runs once per scene; the
+    # blocked TPU matmul KNN is kept as fallback but its compile alone can
+    # dominate at 100k+ points).
+    from ..io.native import knn3_native
+
+    d2_host = knn3_native(np.asarray(points, np.float32))
+    if d2_host is not None:
+        dist2 = jnp.maximum(jnp.asarray(d2_host), 1e-7)
+    else:
+        dist2 = jnp.maximum(knn_mean_sq_dist(pts), 1e-7)
     log_scale = 0.5 * jnp.log(dist2)  # log(sqrt(d2))
 
     def pad(x, fill=0.0):

@@ -173,15 +173,24 @@ class Voxelizer:
                     self.translation_augmentation_ratio_bound
                 ):
                     c[:, i] += rng.uniform(span[i] * bound[0], span[i] * bound[1])
-        vox = np.floor(c / self.voxel_size).astype(np.int64)
-        vox -= vox.min(0)
-        # sort-based dedupe (replaces the reference's FNV-64 hashing)
-        dims = vox.max(0) + 1
-        lin = (vox[:, 0] * dims[1] + vox[:, 1]) * dims[2] + vox[:, 2]
-        uniq, first_idx, inverse = np.unique(
-            lin, return_index=True, return_inverse=True
+        from ..io.native import voxelize_native
+
+        # np.unique wins below ~500k points; the C++ hash map wins above
+        native = (
+            voxelize_native(c, self.voxel_size) if len(c) > 500_000 else None
         )
-        out_coords = vox[first_idx]
+        if native is not None:
+            out_coords, first_idx, inverse = native
+        else:
+            vox = np.floor(c / self.voxel_size).astype(np.int64)
+            vox -= vox.min(0)
+            # sort-based dedupe (replaces the reference's FNV-64 hashing)
+            dims = vox.max(0) + 1
+            lin = (vox[:, 0] * dims[1] + vox[:, 1]) * dims[2] + vox[:, 2]
+            uniq, first_idx, inverse = np.unique(
+                lin, return_index=True, return_inverse=True
+            )
+            out_coords = vox[first_idx]
         out_feats = np.asarray(feats)[first_idx]
         out_labels = (
             np.asarray(labels)[first_idx] if labels is not None else None

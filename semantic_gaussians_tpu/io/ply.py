@@ -64,6 +64,40 @@ def read_ply(path) -> dict:
         return out
 
 
+def read_ply_raw(path):
+    """(rows, stride, {prop: (byte_offset, dtype)}, data bytes) for binary
+    single-element PLYs — feeds the native threaded gather."""
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        fmt = next(l for l in header if l.startswith("format")).split()[1]
+        if fmt == "ascii":
+            return None
+        rows = None
+        props = {}
+        off = 0
+        for line in header:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "element":
+                if rows is not None:
+                    return None  # multi-element: use the generic reader
+                rows = int(parts[2])
+            elif parts[0] == "property":
+                if parts[1] == "list":
+                    return None
+                dt = np.dtype(_PLY_DTYPES[parts[1]])
+                props[parts[2]] = (off, dt)
+                off += dt.itemsize
+        data = f.read(rows * off)
+        return rows, off, props, data
+
+
 def write_ply(path, vertex: np.ndarray, element: str = "vertex"):
     """Write one structured array as binary_little_endian PLY."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
@@ -129,24 +163,45 @@ def load_gaussian_ply(path, capacity: Optional[int] = None):
     import jax.numpy as jnp
 
     from ..core.gaussians import round_capacity
+    from .native import ply_gather_f32
 
-    v = read_ply(path)["vertex"]
-    names = v.dtype.names
-    n = len(v)
-    xyz = np.stack([v["x"], v["y"], v["z"]], axis=-1).astype(np.float32)
-    dc = np.stack([v[f"f_dc_{i}"] for i in range(3)], axis=-1).astype(np.float32)
+    raw = read_ply_raw(path)
+    cols = None
+    if raw is not None:
+        rows, stride, props, data = raw
+        names = list(props.keys())
+        all_f32 = all(dt == np.float32 for _, dt in props.values())
+        if all_f32:
+            order = [p for p in names]
+            offsets = np.array([props[p][0] for p in order], np.int64)
+            mat = ply_gather_f32(data, rows, stride, offsets)
+            if mat is not None:
+                cols = {p: mat[:, i] for i, p in enumerate(order)}
+                n = rows
+    if cols is None:
+        v = read_ply(path)["vertex"]
+        names = v.dtype.names
+        n = len(v)
+        cols = {p: np.asarray(v[p], np.float32) for p in names}
+
+    xyz = np.stack([cols["x"], cols["y"], cols["z"]], axis=-1).astype(np.float32)
+    dc = np.stack([cols[f"f_dc_{i}"] for i in range(3)], axis=-1).astype(
+        np.float32
+    )
     rest_names = sorted(
         [p for p in names if p.startswith("f_rest_")],
         key=lambda s: int(s.split("_")[-1]),
     )
     k1 = len(rest_names) // 3
-    rest = np.stack([v[p] for p in rest_names], axis=-1).astype(np.float32)
+    rest = np.stack([cols[p] for p in rest_names], axis=-1).astype(np.float32)
     rest = rest.reshape(n, 3, k1).transpose(0, 2, 1)  # -> (n, K-1, 3)
-    opacity = v["opacity"].astype(np.float32)[:, None]
-    scales = np.stack([v[f"scale_{i}"] for i in range(3)], axis=-1).astype(
-        np.float32
-    )
-    quats = np.stack([v[f"rot_{i}"] for i in range(4)], axis=-1).astype(np.float32)
+    opacity = cols["opacity"].astype(np.float32)[:, None]
+    scales = np.stack(
+        [cols[f"scale_{i}"] for i in range(3)], axis=-1
+    ).astype(np.float32)
+    quats = np.stack(
+        [cols[f"rot_{i}"] for i in range(4)], axis=-1
+    ).astype(np.float32)
 
     cap = capacity or round_capacity(n)
 

@@ -92,8 +92,12 @@ def bin_gaussians(
     offsets = cum - counts_d  # exclusive
 
     pair_idx = jnp.arange(pair_budget, dtype=jnp.int32)
-    # Depth-ranked gaussian owning each pair slot.
-    g = jnp.searchsorted(cum, pair_idx, side="right").astype(jnp.int32)
+    # Depth-ranked gaussian owning each pair slot. method="sort": the default
+    # scan-based searchsorted costs ~200ms at 1.2M queries on TPU; the
+    # sort-based one rides the same fast XLA sort as the pair sort (~4ms).
+    g = jnp.searchsorted(cum, pair_idx, side="right", method="sort").astype(
+        jnp.int32
+    )
     valid = pair_idx < jnp.minimum(total, pair_budget)
     g_safe = jnp.clip(g, 0, n - 1)
     local = pair_idx - offsets[g_safe]
@@ -110,12 +114,12 @@ def bin_gaussians(
     )
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(
-        jnp.int32
-    )
-    tile_end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(
-        jnp.int32
-    )
+    tile_start = jnp.searchsorted(
+        sorted_tile, tile_ids, side="left", method="sort"
+    ).astype(jnp.int32)
+    tile_end = jnp.searchsorted(
+        sorted_tile, tile_ids, side="right", method="sort"
+    ).astype(jnp.int32)
     return TileBinning(
         pair_gaussian=sorted_g,
         pair_tile=sorted_tile,

@@ -201,28 +201,27 @@ def _fwd_kernel(cfg: CompositeConfig):
         m_pre = _tri("prefix_excl")
         cacc_ref[:] = jnp.zeros((num_ch, cfg.px), jnp.float32)
 
-        def dma(slot, k):
+        def dma(k):
             return pltpu.make_async_copy(
                 pairs_hbm.at[:, pl.ds(aligned + k * CHUNK, CHUNK)],
-                chunk_buf.at[slot],
-                sems.at[slot],
+                chunk_buf.at[0],
+                sems.at[0],
             )
 
-        @pl.when(nchunks > 0)
-        def _():
-            dma(0, 0).start()
+        def cond(state):
+            # Early exit once every pixel has hit its termination event —
+            # T cannot drop below T_EPS without one, so this is exact
+            # (renderCUDA's all-done block vote, forward.cu:314-316).
+            k, T, dmed, done_f, last = state
+            return (k < nchunks) & jnp.logical_not(jnp.all(done_f > 0.0))
 
-        def body(k, state):
-            T, dmed, done_f, last = state  # all (1, PX); done_f is 0/1 f32
+        def body(state):
+            k, T, dmed, done_f, last = state  # (1, PX) rows; done_f 0/1 f32
             done = done_f > 0.0
-            slot = k % 2
-
-            @pl.when(k + 1 < nchunks)
-            def _():
-                dma((k + 1) % 2, k + 1).start()
-
-            dma(slot, k).wait()
-            bt = chunk_buf[slot].T  # (CHUNK, D)
+            d = dma(k)
+            d.start()
+            d.wait()
+            bt = chunk_buf[0].T  # (CHUNK, D)
             a = _alpha_terms(bt, px_x, px_y, cfg)
 
             # Sublane j corresponds to aligned-range index k*CHUNK + j; the
@@ -261,15 +260,16 @@ def _fwd_kernel(cfg: CompositeConfig):
                 last,
                 jnp.max(jnp.where(contribute, gidx, 0.0), axis=0, keepdims=True),
             )
-            return (T, dmed, done_f, last)
+            return (k + 1, T, dmed, done_f, last)
 
         init = (
+            jnp.zeros((), jnp.int32),
             jnp.ones((1, cfg.px), jnp.float32),
             jnp.full((1, cfg.px), MEDIAN_DEPTH_INIT, jnp.float32),
             jnp.zeros((1, cfg.px), jnp.float32),
             jnp.zeros((1, cfg.px), jnp.float32),
         )
-        T, dmed, _, last = jax.lax.fori_loop(0, nchunks, body, init)
+        _, T, dmed, _, last = jax.lax.while_loop(cond, body, init)
 
         out_color_ref[0] = cacc_ref[:] + bg_ref[:] * T
         out_depth_ref[0] = dmed
