@@ -60,18 +60,36 @@ def main():
     cam = make_camera(np.eye(3), np.zeros(3), 1.4, 1.1, w, h)
     target = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
 
+    budget = 655_360  # ~1.8x the scene's actual pair count (overflow checked)
+
     def loss(params):
-        out = render(cam, params, alive=alive)
+        out = render(cam, params, alive=alive, pair_budget=budget)
         return jnp.mean((out["render"] - target) ** 2)
 
-    step = jax.jit(jax.grad(loss))
-    g = jax.block_until_ready(step(params))  # compile
-    iters = 10
+    ov = render(cam, params, alive=alive, pair_budget=budget)["overflow"]
+    assert int(ov) == 0, f"pair budget overflow: {int(ov)}"
+
+    grad = jax.grad(loss)
+    inner = 10
+
+    @jax.jit
+    def chained(params):
+        # One dispatch, `inner` dependent fwd+bwd steps on device — isolates
+        # device throughput from host/tunnel dispatch latency.
+        def body(i, p):
+            g = grad(p)
+            return jax.tree.map(lambda x, y: x - 1e-30 * y, p, g)
+
+        return jax.lax.fori_loop(0, inner, body, params)
+
+    jax.block_until_ready(chained(params))  # compile
+    iters = 3
     t0 = time.perf_counter()
+    out = params
     for _ in range(iters):
-        g = step(params)
-    jax.block_until_ready(g)
-    dt = (time.perf_counter() - t0) / iters
+        out = chained(out)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / (iters * inner)
 
     rays_per_s = w * h / dt
     print(

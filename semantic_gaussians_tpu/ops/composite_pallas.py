@@ -354,31 +354,61 @@ def _bwd_kernel(cfg: CompositeConfig):
         n_contrib = n_contrib_ref[0].astype(jnp.float32)  # (1, PX)
         bgdot = _dotg(bg_ref[:], ghat, ((0,), (0,)))  # (1, PX)
 
-        def dma_in(slot, k):
+        # Chunks past the last contributor of any pixel hold no gradient:
+        # walk only the active prefix, zero-fill the rest (their pair rows
+        # are still valid buffer rows that must not keep garbage).
+        max_contrib = jnp.max(n_contrib).astype(jnp.int32)
+        active = pl.cdiv(
+            jnp.minimum(head + max_contrib, head + count), CHUNK
+        )
+
+        def dma_in(k):
             return pltpu.make_async_copy(
                 pairs_hbm.at[:, pl.ds(aligned + k * CHUNK, CHUNK)],
-                chunk_buf.at[slot],
-                sems.at[slot],
+                chunk_buf.at[0],
+                sems.at[0],
             )
 
-        @pl.when(nchunks > 0)
-        def _():
-            dma_in(0, nchunks - 1).start()
+        def merged_write(k):
+            """DMA gbuf out to chunk k, preserving the previous tile's
+            already-final head columns on chunk 0."""
+            @pl.when((k == 0) & (head > 0))
+            def _():
+                rd = pltpu.make_async_copy(
+                    grads_hbm.at[:, pl.ds(aligned, CHUNK)], obuf, head_sem
+                )
+                rd.start()
+                rd.wait()
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                gbuf[:] = jnp.where(col < head, obuf[:], gbuf[:])
+
+            wr = pltpu.make_async_copy(
+                gbuf, grads_hbm.at[:, pl.ds(aligned + k * CHUNK, CHUNK)],
+                out_sem,
+            )
+            wr.start()
+            wr.wait()
+
+        # zero-fill inactive chunks [active, nchunks)
+        def zero_body(k, _):
+            gbuf[:] = jnp.zeros((cfg.row_width, CHUNK), jnp.float32)
+            merged_write(k)
+            return 0
+
+        jax.lax.fori_loop(active, nchunks, zero_body, 0)
 
         def body(i, carry):
             # b: (1, PX) transmittance after this chunk's Gaussians.
             # s: (1, PX) sum of w*q over all LATER chunks (the cross-chunk
             #    part of CUDA's accum_rec recurrence, backward.cu:496-516).
+            # (Chunks beyond `active` have no contributors, so b and s are
+            # unchanged across them — starting from t_final is exact.)
             b, s = carry
-            k = nchunks - 1 - i  # chunks walked back-to-front
-            slot = i % 2
-
-            @pl.when(i + 1 < nchunks)
-            def _():
-                dma_in((i + 1) % 2, k - 1).start()
-
-            dma_in(slot, k).wait()
-            bt = chunk_buf[slot].T  # (CHUNK, D)
+            k = active - 1 - i  # active chunks walked back-to-front
+            d = dma_in(k)
+            d.start()
+            d.wait()
+            bt = chunk_buf[0].T  # (CHUNK, D)
             a = _alpha_terms(bt, px_x, px_y, cfg)
 
             j_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + k * CHUNK
@@ -422,25 +452,7 @@ def _bwd_kernel(cfg: CompositeConfig):
                 pieces.append(jnp.zeros((CHUNK, pad), jnp.float32))
             grow = jnp.concatenate(pieces, axis=1)  # (CHUNK, D)
             gbuf[:] = grow.T  # (D, CHUNK)
-
-            # Head merge: the first CHUNK block may include columns owned by
-            # the previous tile (already final — ascending tile order). Read
-            # them back and preserve.
-            @pl.when((k == 0) & (head > 0))
-            def _():
-                rd = pltpu.make_async_copy(
-                    grads_hbm.at[:, pl.ds(aligned, CHUNK)], obuf, head_sem
-                )
-                rd.start()
-                rd.wait()
-                col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-                gbuf[:] = jnp.where(col < head, obuf[:], gbuf[:])
-
-            wr = pltpu.make_async_copy(
-                gbuf, grads_hbm.at[:, pl.ds(aligned + k * CHUNK, CHUNK)], out_sem
-            )
-            wr.start()
-            wr.wait()
+            merged_write(k)
 
             # Remove this chunk's product -> T after the previous chunk.
             b = b * jnp.exp(-jnp.sum(l, axis=0, keepdims=True))
@@ -448,7 +460,7 @@ def _bwd_kernel(cfg: CompositeConfig):
             return (b, s)
 
         jax.lax.fori_loop(
-            0, nchunks, body, (t_final, jnp.zeros((1, cfg.px), jnp.float32))
+            0, active, body, (t_final, jnp.zeros((1, cfg.px), jnp.float32))
         )
 
     return kernel
