@@ -86,40 +86,53 @@ def bin_gaussians(
 
     x0, x1, y0, y1, counts = tile_rects(means2d, radii, tile_shape, grid_shape)
     counts_d = counts[depth_order]
-    x0d, x1d, y0d = x0[depth_order], x1[depth_order], y0[depth_order]
     cum = jnp.cumsum(counts_d)  # inclusive
     total = cum[-1]
     offsets = cum - counts_d  # exclusive
 
     pair_idx = jnp.arange(pair_budget, dtype=jnp.int32)
     # Depth-ranked gaussian owning each pair slot. method="sort": the default
-    # scan-based searchsorted costs ~200ms at 1.2M queries on TPU; the
+    # scan-based searchsorted costs ~200ms at 1M+ queries on TPU; the
     # sort-based one rides the same fast XLA sort as the pair sort (~4ms).
     g = jnp.searchsorted(cum, pair_idx, side="right", method="sort").astype(
         jnp.int32
     )
     valid = pair_idx < jnp.minimum(total, pair_budget)
     g_safe = jnp.clip(g, 0, n - 1)
-    local = pair_idx - offsets[g_safe]
-    w = jnp.maximum(x1d[g_safe] - x0d[g_safe], 1)
-    tx = x0d[g_safe] + local % w
-    ty = y0d[g_safe] + local // w
+    # ONE row gather instead of five scalar gathers: pair-sized scalar
+    # gathers cost ~10ms each at 655k on TPU, a packed row gather ~2ms.
+    table = jnp.stack(
+        [
+            offsets,
+            x0[depth_order],
+            jnp.maximum(x1[depth_order] - x0[depth_order], 1),
+            y0[depth_order],
+            depth_order,
+        ],
+        axis=-1,
+    )  # [n, 5]
+    rows = table[g_safe]
+    local = pair_idx - rows[:, 0]
+    w = rows[:, 2]
+    tx = rows[:, 1] + local % w
+    ty = rows[:, 3] + local // w
     tile = ty * ntx + tx
     tile = jnp.where(valid, tile, num_tiles)
-    g_orig = depth_order[g_safe]
-    g_key = jnp.where(valid, g_orig, n)
+    g_key = jnp.where(valid, rows[:, 4], n)
 
     sorted_tile, sorted_g = jax.lax.sort(
         (tile, g_key), num_keys=1, is_stable=True
     )
 
+    # Per-tile ranges: few queries -> the scan-based searchsorted is cheap;
+    # method="sort" here would re-sort the whole pair list (~10ms).
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(
-        sorted_tile, tile_ids, side="left", method="sort"
-    ).astype(jnp.int32)
-    tile_end = jnp.searchsorted(
-        sorted_tile, tile_ids, side="right", method="sort"
-    ).astype(jnp.int32)
+    tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(
+        jnp.int32
+    )
+    tile_end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(
+        jnp.int32
+    )
     return TileBinning(
         pair_gaussian=sorted_g,
         pair_tile=sorted_tile,

@@ -101,3 +101,55 @@ def make_parallel_train_step(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_band_train_step(
+    mesh: Mesh,
+    cfg: TrainConfig,
+    active_sh_degree: int,
+    pair_budget: Optional[int] = None,
+    axis: str = "data",
+):
+    """Tile-band-sharded train step: ONE view per step, its rays sharded
+    across the mesh (render_sharded), loss on the assembled image, grads
+    psum'd by the shard_map transpose, replicated Adam update.
+
+    This is the BASELINE.md north-star schedule: pixels/tiles across chips,
+    Gaussians replicated.
+    """
+    from ..core.densify import add_stats
+    from .render_sharded import render_sharded
+
+    def step(state: TrainState, cam: Camera, bg):
+        def loss_fn(params):
+            out = render_sharded(
+                cam, params, state.alive, mesh, bg,
+                active_sh_degree=active_sh_degree, pair_budget=pair_budget,
+                axis=axis,
+            )
+            return (
+                photometric_loss(out["render"], cam.image, cfg.lambda_dssim),
+                out,
+            )
+
+        # NOTE: densification stats (mean2D grads) are not yet plumbed
+        # through the banded path; pair band training with periodic
+        # single-chip densify steps, or use the view-parallel step.
+        (loss, out), gparams = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        lrs = lr_tree(cfg.hyper, cfg.spatial_lr_scale, state.step)
+        new_params, new_adam = adam_update(
+            gparams, state.adam, state.params, lrs, cfg.hyper
+        )
+        new_state = dataclasses.replace(
+            state, params=new_params, adam=new_adam, step=state.step + 1
+        )
+        metrics = dict(
+            loss=loss,
+            psnr=psnr(out["render"], cam.image),
+            overflow=out["overflow"],
+        )
+        return new_state, metrics
+
+    return jax.jit(step)
