@@ -116,6 +116,7 @@ def main():
             np.asarray(vout), inverse, n_alive, params.capacity
         )
 
+    gauss_feats = None
     if mode == "2d":
         gauss_feats = feats_2d
     elif mode == "3d":
@@ -125,15 +126,19 @@ def main():
             gauss_feats = ensemble_features(feats_2d, feats_3d)
             text = np.concatenate([text, text], axis=-1)
         else:
-            gauss_feats = feats_2d  # argmax handled per view below
-    else:
-        raise NotImplementedError(
-            f"eval_mode {mode!r}: pretrained/labelmap need per-view inputs; "
-            "see pipelines.eval_segmentation for the building blocks"
-        )
+            from semantic_gaussians_tpu.pipelines.eval_segmentation import (
+                ensemble_argmax_class,
+            )
+
+            # argmax ensemble: per-Gaussian class by max of the two sims,
+            # evaluated through the one-hot render path (pred_on_3d)
+            cls = ensemble_argmax_class(feats_2d, feats_3d, jnp.asarray(text))
+            gauss_feats = jnp.asarray(text)[cls]  # exact class feature
+    elif mode not in ("pretrained", "labelmap"):
+        raise ValueError(f"unknown eval_mode {mode!r}")
 
     # eval views + GT labels
-    cams, gts = [], []
+    cams, gts, eval_infos = [], [], []
     label_dir = e.get("label_dir")
     wh = (int(e.get("width", 648)), int(e.get("height", 484)))
     mapping_tsv = pathlib.Path(cfg.scene.scene_path) / "scannetv2-labels.modified.tsv"
@@ -172,15 +177,66 @@ def main():
             make_camera(ci.R, ci.T, ci.fov_x, ci.fov_y, wh[0], wh[1])
         )
         gts.append(gt)
+        eval_infos.append(ci)
     if not cams:
         print("no GT label images found — nothing to evaluate")
         return
-    miou, macc, _ = eval_views(
-        cams, gts, params, alive, jnp.asarray(gauss_feats), text, labels,
-        pred_on_3d=bool(e.get("pred_on_3d", True)),
-        backend=cfg.pipeline.get("backend", "pallas"),
-        stdout=True, log_file="eval_result.log",
-    )
+
+    if mode == "pretrained":
+        # Run the 2D model directly on each eval view, compare per-pixel
+        # sims against GT (eval_segmentation.py 'pretrained', :445+).
+        acc = EvalAccumulator(len(labels))
+        tj = text / np.maximum(
+            np.linalg.norm(text, axis=-1, keepdims=True), 1e-8
+        )
+        for ci, gt in zip(eval_infos, gts):
+            feat = enc.extract_image_feature(ci.image_path, wh)
+            f = feat / np.maximum(
+                np.linalg.norm(feat, axis=-1, keepdims=True), 1e-8
+            )
+            sims = np.einsum("hwd,kd->hwk", f, tj)
+            pix = np.argmax(sims, axis=-1)
+            pred = np.where(pix == 0, len(labels), pix - 1)
+            acc.add_view(pred, gt)
+        miou, macc = acc.report(
+            labels, stdout=True, log_file="eval_result.log",
+            dataset=f"pretrained/{dataset}",
+        )
+    elif mode == "labelmap":
+        # Precomputed per-view label maps (.pt / .png train-ids) — the
+        # LangSplat-comparison path (eval_segmentation.py:535-585).
+        import torch
+
+        lm_dir = pathlib.Path(e.get("labelmap_dir") or e.label_dir)
+        acc = EvalAccumulator(len(labels))
+        for ci, gt in zip(eval_infos, gts):
+            p_pt = lm_dir / f"{ci.image_name}.pt"
+            p_png = lm_dir / f"{ci.image_name}.png"
+            if p_pt.exists():
+                lm = torch.load(p_pt, map_location="cpu", weights_only=False)
+                lm = np.asarray(lm, np.int64)
+            elif p_png.exists():
+                lm = np.asarray(Image.open(p_png), np.int64)
+            else:
+                continue
+            if lm.shape != gt.shape:
+                lm = np.asarray(
+                    Image.fromarray(lm.astype(np.int32), mode="I").resize(
+                        (gt.shape[1], gt.shape[0]), Image.NEAREST
+                    )
+                )
+            acc.add_view(np.clip(lm, 0, len(labels)), gt)
+        miou, macc = acc.report(
+            labels, stdout=True, log_file="eval_result.log",
+            dataset=f"labelmap/{dataset}",
+        )
+    else:
+        miou, macc, _ = eval_views(
+            cams, gts, params, alive, jnp.asarray(gauss_feats), text, labels,
+            pred_on_3d=bool(e.get("pred_on_3d", True)),
+            backend=cfg.pipeline.get("backend", "pallas"),
+            stdout=True, log_file="eval_result.log",
+        )
     print(f"mIoU {miou:.4f}  mAcc {macc:.4f}")
 
 

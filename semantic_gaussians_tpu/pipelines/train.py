@@ -208,6 +208,7 @@ def train_loop(
     backend: str = "pallas",
     log_every: int = 0,
     pair_budget: Optional[int] = None,
+    tb_dir: Optional[str] = None,
 ):
     """Host-side driver (single process, single device).
 
@@ -218,11 +219,15 @@ def train_loop(
     """
     import numpy as np
 
+    from ..utils.logging_utils import StepTimer, TBLogger
+
     iters = num_iters or cfg.iterations
     bg = jnp.ones(3) if cfg.white_background else jnp.zeros(3)
     rng = np.random.default_rng(0)
     order = []
     history = []
+    tb = TBLogger(tb_dir) if tb_dir else None
+    timer = StepTimer()
     for it in range(1, iters + 1):
         if not order:
             order = list(rng.permutation(len(cameras)))
@@ -232,10 +237,23 @@ def train_loop(
         if cfg.random_background:
             key, sub = jax.random.split(key)
             step_bg = jax.random.uniform(sub, (3,))
-        state, metrics = train_step(
-            state, cam, step_bg, cfg, sh_deg, backend=backend,
-            pair_budget=pair_budget,
-        )
+        with timer:
+            state, metrics = train_step(
+                state, cam, step_bg, cfg, sh_deg, backend=backend,
+                pair_budget=pair_budget,
+            )
+        if tb and it % 10 == 0:
+            # reference TB parity (train.py:182-187)
+            tb.scalar("train/loss", metrics["loss"], it)
+            tb.scalar("train/psnr", metrics["psnr"], it)
+            tb.scalar("train/total_points", metrics["num_points"], it)
+            tb.scalar("train/iter_time", timer.value, it)
+            if it % 1000 == 0:
+                tb.histogram(
+                    "scene/opacity_histogram",
+                    np.asarray(state.params.opacity)[np.asarray(state.alive)],
+                    it,
+                )
         if it > cfg.densify_from_iter and it <= cfg.densify_until_iter:
             if it % cfg.densification_interval == 0:
                 key, sub = jax.random.split(key)

@@ -20,43 +20,40 @@ import numpy as np
 
 
 def save_state(path, state: Any) -> None:
-    """Save any pytree (e.g. TrainState) to <path> (directory or file)."""
+    """Save any pytree (e.g. TrainState) to <path> (directory or file).
+
+    The state is stored as its FLATTENED leaf list (order-stable): orbax
+    restores nested dataclass trees as dicts whose flatten order need not
+    match the original treedef, so round-tripping structured trees directly
+    would silently permute leaves.
+    """
     path = Path(path)
+    leaves = [np.asarray(x) for x in jax.tree.leaves(state)]
     try:
         import orbax.checkpoint as ocp
 
         path.parent.mkdir(parents=True, exist_ok=True)
         ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(path.resolve(), jax.tree.map(np.asarray, state), force=True)
+        ckptr.save(path.resolve(), leaves, force=True)
     except Exception:
         path.parent.mkdir(parents=True, exist_ok=True)
-        flat, treedef = jax.tree.flatten(state)
         with open(str(path) + ".pkl", "wb") as f:
-            pickle.dump(
-                {"leaves": [np.asarray(x) for x in flat], "treedef": treedef},
-                f,
-            )
+            pickle.dump({"leaves": leaves}, f)
 
 
 def load_state(path, like: Any) -> Any:
     """Load a pytree saved by save_state; `like` provides the structure."""
     path = Path(path)
+    treedef = jax.tree.structure(like)
     if path.exists() and path.is_dir():
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
-        restored = ckptr.restore(path.resolve())
-        flat_like, treedef = jax.tree.flatten(like)
-        flat_rest = jax.tree.leaves(restored)
-        return jax.tree.unflatten(
-            treedef, [jnp.asarray(x) for x in flat_rest]
-        )
-    pkl = Path(str(path) + ".pkl")
-    with open(pkl, "rb") as f:
-        data = pickle.load(f)
-    return jax.tree.unflatten(
-        data["treedef"], [jnp.asarray(x) for x in data["leaves"]]
-    )
+        leaves = ckptr.restore(path.resolve())
+    else:
+        with open(str(path) + ".pkl", "rb") as f:
+            leaves = pickle.load(f)["leaves"]
+    return jax.tree.unflatten(treedef, [jnp.asarray(x) for x in leaves])
 
 
 def latest_iteration(model_dir, prefix: str = "iteration_") -> Optional[int]:

@@ -99,13 +99,26 @@ def main():
 
     save_iters = set(int(i) for i in t.get("save_iterations", []))
     ckpt_iters = set(int(i) for i in t.get("checkpoint_iterations", []))
+    test_iters = set(int(i) for i in t.get("test_iterations", []))
     backend = cfg.pipeline.get("backend", "pallas")
     budget = cfg.pipeline.get("pair_budget")
 
-    # chunked driver so we can snapshot at save_iterations
+    test_cams = None
+    if scene.test_cameras:
+        test_cams = [
+            realize_camera(
+                c, white_background=bool(cfg.scene.get("white_background"))
+            )
+            for c in scene.test_cameras
+        ]
+
+    # chunked driver: snapshot / checkpoint / evaluate at milestone iters
     done = 0
     milestones = sorted(
-        set(list(save_iters) + list(ckpt_iters) + [int(t.iterations)])
+        set(
+            list(save_iters) + list(ckpt_iters) + list(test_iters)
+            + [int(t.iterations)]
+        )
     )
     for target in milestones:
         if target <= done:
@@ -113,9 +126,27 @@ def main():
         state, _ = train_loop(
             state, cameras, tc, key, scene.nerf_normalization["radius"],
             num_iters=target - done, backend=backend, log_every=100,
-            pair_budget=budget,
+            pair_budget=budget, tb_dir=str(out_dir / "tb_logs"),
         )
         done = target
+        if target in test_iters and test_cams:
+            # reference eval() (train.py:34-72): L1/PSNR over test views
+            from semantic_gaussians_tpu.renderer import render as _render
+            from semantic_gaussians_tpu.utils.losses import l1_loss, psnr
+
+            l1s, psnrs = [], []
+            for tc_cam in test_cams[:8]:
+                out = _render(
+                    tc_cam, state.params, alive=state.alive,
+                    bg=jnp.ones(3) if tc.white_background else jnp.zeros(3),
+                    backend=backend, pair_budget=budget,
+                )
+                l1s.append(float(l1_loss(out["render"], tc_cam.image)))
+                psnrs.append(float(psnr(out["render"], tc_cam.image)))
+            print(
+                f"[test @ {target}] L1 {np.mean(l1s):.4f} "
+                f"PSNR {np.mean(psnrs):.2f}"
+            )
         if target in save_iters or target == int(t.iterations):
             ply = out_dir / "point_cloud" / f"iteration_{target}" / "point_cloud.ply"
             save_gaussian_ply(ply, state.params, np.asarray(state.alive))
