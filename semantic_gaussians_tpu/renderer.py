@@ -40,6 +40,7 @@ def render(
     pair_budget: Optional[int] = None,
     backend: str = "pallas",
     mean2d_offset: Optional[jnp.ndarray] = None,  # [N,2] zeros (densify stats)
+    debug: bool = False,  # snapshot inputs on non-finite output (see below)
 ) -> dict:
     """Render RGB(+median depth) or N-channel features from one camera.
 
@@ -100,6 +101,30 @@ def render(
         backend=backend,
     )
     out["radii"] = proj.radii
+    if debug:
+        # Debug-snapshot parity with the reference rasterizer's
+        # snapshot_fw.dump on CUDA exceptions (channel __init__.py:86-100):
+        # if the render goes non-finite, dump all inputs for offline repro.
+        import numpy as _np
+
+        img = _np.asarray(out["render"])
+        if not _np.isfinite(img).all():
+            path = "/tmp/sgtpu_snapshot_fw.npz"
+            _np.savez(
+                path,
+                means=_np.asarray(params.means),
+                log_scales=_np.asarray(params.log_scales),
+                quats=_np.asarray(params.quats),
+                opacity_logits=_np.asarray(params.opacity_logits),
+                sh_dc=_np.asarray(params.sh_dc),
+                sh_rest=_np.asarray(params.sh_rest),
+                world_view=_np.asarray(camera.world_view),
+                full_proj=_np.asarray(camera.full_proj),
+                bg=_np.asarray(bg),
+            )
+            raise FloatingPointError(
+                f"non-finite render; inputs snapshotted to {path}"
+            )
     return out
 
 
