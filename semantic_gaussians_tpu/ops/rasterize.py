@@ -92,6 +92,7 @@ def rasterize(
     if backend == "dense":
         out = rasterize_dense(proj, img_width, img_height, bg, tile_shape)
         out["overflow"] = jnp.zeros((), jnp.int32)
+        out["num_pairs"] = jnp.zeros((), jnp.int32)
         return out
 
     th, tw = tile_shape
@@ -123,4 +124,5 @@ def rasterize(
         final_T=_untile(final_t, cfg, img_height, img_width),
         n_contrib=_untile(n_contrib, cfg, img_height, img_width),
         overflow=binning.overflow,
+        num_pairs=binning.num_pairs,
     )

@@ -96,6 +96,59 @@ def make_distill_step(model, tx, cfg: DistillConfig):
     return step
 
 
+def make_parallel_distill_step(model, tx, cfg: DistillConfig, mesh, axis="data"):
+    """Scene-parallel distillation: one scene per chip, pmean'd grads
+    (BASELINE config #5: multi-scene distill sharded across hosts).
+
+    Batch arrays carry a leading mesh-axis dim (use stack of DistillItems).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def device_step(variables, opt_state, coords, feats, gt, gt_mask, mask):
+        c0, f0, g0, gm0, m0 = (
+            coords[0], feats[0], gt[0], gt_mask[0], mask[0]
+        )
+        topo = build_topology(c0, m0)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                f0, topo, train=True, mutable=["batch_stats"],
+            )
+            return cosine_distill_loss(out, g0, mask=gm0), mutated
+
+        (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        # batch stats averaged across scenes (sync BN analogue)
+        stats = jax.lax.pmean(mutated["batch_stats"], axis)
+        updates, opt_state = tx.update(grads, opt_state, variables["params"])
+        new_params = optax.apply_updates(variables["params"], updates)
+        return {"params": new_params, "batch_stats": stats}, opt_state, loss
+
+    sharded = jax.shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def stack_items(items):
+    """Stack DistillItems into leading-axis batch arrays for the parallel
+    step: (coords, feats, gt, gt_mask, mask)."""
+    import numpy as np
+
+    return tuple(
+        jnp.asarray(np.stack([getattr(it, f) for it in items]))
+        for f in ("coords", "feats", "gt", "gt_mask", "mask")
+    )
+
+
 def distill_scene_features(model, variables, item: DistillItem):
     """Inference: per-voxel features + per-Gaussian scatter-back helper."""
     coords = jnp.asarray(item.coords)

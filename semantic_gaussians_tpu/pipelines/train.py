@@ -128,6 +128,7 @@ def train_step(
         psnr=psnr(out["render"], camera.image),
         num_points=num_alive(state.alive),
         overflow=out["overflow"],
+        num_pairs=out["num_pairs"],
     )
     return (
         dataclasses.replace(
@@ -228,6 +229,14 @@ def train_loop(
     history = []
     tb = TBLogger(tb_dir) if tb_dir else None
     timer = StepTimer()
+    # Adaptive static pair budget: bucketed to powers of two so recompiles
+    # are rare; grows on overflow, shrinks when <30% utilized. pair_budget
+    # given explicitly disables adaptation.
+    adaptive = pair_budget is None
+    if adaptive:
+        from ..ops.binning import default_pair_budget
+
+        pair_budget = default_pair_budget(state.params.capacity)
     for it in range(1, iters + 1):
         if not order:
             order = list(rng.permutation(len(cameras)))
@@ -242,6 +251,19 @@ def train_loop(
                 state, cam, step_bg, cfg, sh_deg, backend=backend,
                 pair_budget=pair_budget,
             )
+        if adaptive and it % 10 == 0:
+            # periodic (host-sync) budget adaptation: double on overflow,
+            # resize to ~1.5x utilization on power-of-two buckets
+            ov = int(metrics["overflow"])
+            if ov > 0:
+                pair_budget *= 2
+            elif it % 50 == 0:
+                pairs = int(metrics["num_pairs"])
+                want = max(
+                    8192, 1 << int(np.ceil(np.log2(max(pairs, 1) * 1.5)))
+                )
+                if want > pair_budget or want < pair_budget // 2:
+                    pair_budget = want
         if tb and it % 10 == 0:
             # reference TB parity (train.py:182-187)
             tb.scalar("train/loss", metrics["loss"], it)

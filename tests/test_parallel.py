@@ -83,3 +83,61 @@ def test_view_parallel_step_runs():
     state, metrics = step(state, stack_cameras(cams), jnp.zeros(3))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_parallel_distill_step():
+    from semantic_gaussians_tpu.pipelines.distill import (
+        DistillConfig,
+        FeatureDataset,
+        make_distill_state,
+        make_parallel_distill_step,
+        stack_items,
+    )
+    from semantic_gaussians_tpu.data.feature_dataset import DistillItem
+
+    rng = np.random.default_rng(0)
+    cfg = DistillConfig(model_3d="MinkUNet14A", feature_dim=8, in_channels=4)
+    budget = 128
+    model, variables, tx, opt_state = make_distill_state(cfg, budget, 1)
+    mesh = make_mesh(8)
+    step = make_parallel_distill_step(model, tx, cfg, mesh)
+
+    items = []
+    for i in range(8):
+        n = 60
+        items.append(
+            DistillItem(
+                coords=np.pad(
+                    rng.integers(0, 16, size=(n, 3)).astype(np.int32),
+                    ((0, budget - n), (0, 0)),
+                ),
+                feats=np.pad(
+                    rng.normal(size=(n, 4)).astype(np.float32),
+                    ((0, budget - n), (0, 0)),
+                ),
+                gt=np.pad(
+                    rng.normal(size=(n, 8)).astype(np.float32),
+                    ((0, budget - n), (0, 0)),
+                ),
+                gt_mask=np.arange(budget) < n,
+                mask=np.arange(budget) < n,
+                num_voxels=n,
+            )
+        )
+    batch = stack_items(items)
+    variables, opt_state, loss = step(variables, opt_state, *batch)
+    assert np.isfinite(float(loss))
+
+
+def test_empty_scene_renders_background():
+    params, alive = _scene(n=10)
+    alive = jnp.zeros_like(alive)  # nothing alive
+    cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.9, 128, 32)
+    bg = jnp.asarray([0.5, 0.25, 0.75])
+    out = render(cam, params, alive, bg=bg, backend="pallas")
+    np.testing.assert_allclose(
+        np.asarray(out["render"]),
+        np.broadcast_to(np.asarray(bg), (32, 128, 3)),
+        atol=1e-6,
+    )
+    assert float(out["depth"].min()) == 15.0  # median-depth init everywhere
