@@ -80,12 +80,23 @@ def bin_gaussians(
     # order, then a SINGLE-KEY STABLE sort by tile id gives per-tile
     # depth-ordered lists — much cheaper than a 2-key lexicographic sort of
     # the full pair list (the cub radix-sort analogue, rasterizer_impl.cu:302).
-    depth_order = jnp.argsort(
-        jnp.where(radii > 0, depths, jnp.inf)
-    ).astype(jnp.int32)
-
     x0, x1, y0, y1, counts = tile_rects(means2d, radii, tile_shape, grid_shape)
-    counts_d = counts[depth_order]
+    # Multi-payload sort carries the rect data INTO depth order directly:
+    # argsort + five `x[depth_order]` gathers run on the TPU scalar core at
+    # ~3.7ms each; one variadic sort is ~1ms total.
+    depth_key = jnp.where(radii > 0, depths, jnp.inf)
+    _, counts_d, x0d, wd, y0d, idx_d = jax.lax.sort(
+        (
+            depth_key,
+            counts,
+            x0,
+            jnp.maximum(x1 - x0, 1),
+            y0,
+            jnp.arange(n, dtype=jnp.int32),
+        ),
+        num_keys=1,
+        is_stable=True,
+    )
     cum = jnp.cumsum(counts_d)  # inclusive
     total = cum[-1]
     offsets = cum - counts_d  # exclusive
@@ -99,18 +110,9 @@ def bin_gaussians(
     )
     valid = pair_idx < jnp.minimum(total, pair_budget)
     g_safe = jnp.clip(g, 0, n - 1)
-    # ONE row gather instead of five scalar gathers: pair-sized scalar
-    # gathers cost ~10ms each at 655k on TPU, a packed row gather ~2ms.
-    table = jnp.stack(
-        [
-            offsets,
-            x0[depth_order],
-            jnp.maximum(x1[depth_order] - x0[depth_order], 1),
-            y0[depth_order],
-            depth_order,
-        ],
-        axis=-1,
-    )  # [n, 5]
+    # ONE row gather instead of five scalar gathers (same scalar-core issue
+    # at pair scale).
+    table = jnp.stack([offsets, x0d, wd, y0d, idx_d], axis=-1)  # [n, 5]
     rows = table[g_safe]
     local = pair_idx - rows[:, 0]
     w = rows[:, 2]
