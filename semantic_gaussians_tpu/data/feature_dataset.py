@@ -10,8 +10,7 @@ arrays ready for the jitted distill step.
 from __future__ import annotations
 
 import dataclasses
-from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -6,7 +6,6 @@ FoV. Implemented from the public COLMAP binary format spec.
 """
 from __future__ import annotations
 
-import dataclasses
 import struct
 from pathlib import Path
 from typing import Dict, NamedTuple

@@ -10,7 +10,6 @@ in the reference and vice versa.
 """
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 from typing import Optional
 

@@ -21,9 +21,8 @@ L2-normalized (reference extract_text_feature, openseg_predictor.py:81-99).
 from __future__ import annotations
 
 import hashlib
-import os
 from pathlib import Path
-from typing import List, Optional, Protocol, Sequence, Tuple
+from typing import Protocol, Sequence, Tuple
 
 import numpy as np
 

@@ -24,7 +24,7 @@ BatchNorm is masked over alive voxels (ME.MinkowskiBatchNorm analogue).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

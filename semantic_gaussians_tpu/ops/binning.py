@@ -26,7 +26,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .projection import ProjectedGaussians
 
 
 @jax.tree_util.register_dataclass

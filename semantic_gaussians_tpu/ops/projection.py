@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.sh import eval_sh
-from ..utils.transforms import build_covariance_3d, strip_symmetric, unstrip_symmetric
+from ..utils.transforms import build_covariance_3d, unstrip_symmetric
 
 NEAR_CULL_Z = 0.2
 LOWPASS = 0.3

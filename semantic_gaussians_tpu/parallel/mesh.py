@@ -8,7 +8,7 @@ JAX collectives over ICI/DCN, mesh axes ("data",) for view/ray parallelism
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

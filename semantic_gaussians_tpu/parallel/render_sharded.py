@@ -15,7 +15,6 @@ slices (out_specs sharded over the row axis).
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -18,7 +18,6 @@ with the tile grid split over a second mesh axis.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax

@@ -9,7 +9,6 @@ build + UNet fwd/bwd); data prep is host-side (FeatureDataset).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from pathlib import Path
 from typing import Optional
 

@@ -9,7 +9,6 @@ PLY exports for interop.
 """
 from __future__ import annotations
 
-import dataclasses
 import pickle
 from pathlib import Path
 from typing import Any, Optional
