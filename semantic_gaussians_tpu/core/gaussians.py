@@ -161,3 +161,12 @@ def packed_features(
 
 def num_alive(alive: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(alive.astype(jnp.int32))
+
+
+def create_semantic(capacity: int, num_channels: int = 768):
+    """Zero per-Gaussian semantic features + visit counters
+    (create_semantic parity, gaussian_model.py:188-194)."""
+    return (
+        jnp.zeros((capacity, num_channels), jnp.float32),
+        jnp.zeros((capacity,), jnp.float32),
+    )

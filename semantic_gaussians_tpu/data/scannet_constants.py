@@ -75,3 +75,13 @@ def map_label_image(
         lut[k] = v
     out = lut[np.clip(label_img.astype(np.int64), 0, len(lut) - 1)]
     return out
+
+
+def render_palette(label_img: np.ndarray, num_classes: int) -> np.ndarray:
+    """Label map -> RGB float image via the ScanNet palette
+    (render_utils.render_palette parity, render_utils.py:26-40); ids ==
+    num_classes (unlabeled) map to black."""
+    pal = COLORMAP[: num_classes + 1] / 255.0
+    ids = np.clip(np.asarray(label_img, np.int64) + 1, 0, num_classes)
+    ids = np.where(np.asarray(label_img) >= num_classes, 0, ids)
+    return pal[ids].astype(np.float32)

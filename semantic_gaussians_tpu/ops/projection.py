@@ -186,3 +186,19 @@ def project_gaussians(
         colors=colors,
         radii=radii,
     )
+
+
+def mark_visible(
+    means: jnp.ndarray, world_view: jnp.ndarray, full_proj: jnp.ndarray
+) -> jnp.ndarray:
+    """[N] bool frustum visibility — markVisible parity
+    (rgbd rasterize_points.cu:204-223 / checkFrustum, auxiliary.h:139-164):
+    near-plane test on view z plus a loose +/-1.3 NDC bound."""
+    p_view = means @ world_view[:3, :3].T + world_view[:3, 3]
+    p_hom = means @ full_proj[:3, :3].T + full_proj[:3, 3]
+    p_w = means @ full_proj[3, :3] + full_proj[3, 3]
+    rw = 1.0 / (jnp.where(jnp.abs(p_w) > 1e-7, p_w, 1e-7))
+    ndc = p_hom * rw[:, None]
+    in_front = p_view[:, 2] > NEAR_CULL_Z
+    in_box = (jnp.abs(ndc[:, 0]) < 1.3) & (jnp.abs(ndc[:, 1]) < 1.3)
+    return in_front & in_box

@@ -172,3 +172,56 @@ def test_adjust_intrinsic():
     K = np.array([[100.0, 0, 50], [0, 100, 40], [0, 0, 1]])
     K2 = adjust_intrinsic(K, (100, 80), (50, 40))
     assert K2[0, 0] == 50.0 and K2[1, 1] == 50.0
+
+
+def test_chromatic_augmentations(rng):
+    from semantic_gaussians_tpu.data.augmentation import (
+        ChromaticAutoContrast,
+        ChromaticJitter,
+        ChromaticTranslation,
+        HueSaturationTranslation,
+    )
+
+    coords = rng.normal(size=(50, 3))
+    feats = rng.uniform(0, 255, size=(50, 6)).astype(np.float32)
+    for aug in (
+        ChromaticTranslation(),
+        ChromaticAutoContrast(),
+        ChromaticJitter(),
+        HueSaturationTranslation(),
+    ):
+        _, f2, _ = aug(coords, feats.copy(), seed=0)
+        assert f2.shape == feats.shape
+        assert (f2[:, :3] >= -1e-3).all() and (f2[:, :3] <= 255 + 1e-3).all()
+        np.testing.assert_array_equal(f2[:, 3:], feats[:, 3:])  # non-color cols
+
+
+def test_hsv_roundtrip(rng):
+    from semantic_gaussians_tpu.data.augmentation import HueSaturationTranslation
+
+    rgb = rng.uniform(0, 255, size=(100, 3))
+    hsv = HueSaturationTranslation.rgb_to_hsv(rgb)
+    back = HueSaturationTranslation.hsv_to_rgb(hsv)
+    np.testing.assert_allclose(back, rgb, atol=1e-6)
+
+
+def test_mark_visible():
+    from semantic_gaussians_tpu.ops.projection import mark_visible
+    from semantic_gaussians_tpu.utils.camera import make_camera
+
+    cam = make_camera(np.eye(3), np.zeros(3), 1.2, 1.0, 64, 48)
+    pts = jnp.asarray(
+        [[0, 0, 3.0], [0, 0, -3.0], [100.0, 0, 3.0], [0, 0, 0.1]]
+    )
+    vis = np.asarray(mark_visible(pts, cam.world_view, cam.full_proj))
+    assert vis.tolist() == [True, False, False, False]
+
+
+def test_render_palette():
+    from semantic_gaussians_tpu.data.scannet_constants import render_palette
+
+    lbl = np.array([[0, 1], [19, 5]])
+    img = render_palette(lbl, 19)
+    assert img.shape == (2, 2, 3)
+    assert (img[1, 0] == 0).all()  # unlabeled -> black
+    assert img.max() <= 1.0
