@@ -101,12 +101,18 @@ def bin_gaussians(
     offsets = cum - counts_d  # exclusive
 
     pair_idx = jnp.arange(pair_budget, dtype=jnp.int32)
-    # Depth-ranked gaussian owning each pair slot. method="sort": the default
-    # scan-based searchsorted costs ~200ms at 1M+ queries on TPU; the
-    # sort-based one rides the same fast XLA sort as the pair sort (~4ms).
-    g = jnp.searchsorted(cum, pair_idx, side="right", method="sort").astype(
-        jnp.int32
+    # Depth-ranked gaussian owning each pair slot: scatter each gaussian's
+    # range-start index to its offset, then a running max. Equivalent to
+    # searchsorted(cum, p, 'right') (owner j has offsets[j] <= p <
+    # offsets[j]+counts[j]; later gaussians start strictly after p) but
+    # avoids sorting budget+n keys — scan-searchsorted costs ~200ms and
+    # sort-searchsorted lands extra scalar-core fusions.
+    seed = (
+        jnp.full((pair_budget + 1,), -1, jnp.int32)
+        .at[jnp.minimum(offsets, pair_budget)]
+        .max(jnp.arange(n, dtype=jnp.int32))[:pair_budget]
     )
+    g = jax.lax.cummax(seed)
     valid = pair_idx < jnp.minimum(total, pair_budget)
     g_safe = jnp.clip(g, 0, n - 1)
     # ONE row gather instead of five scalar gathers (same scalar-core issue
