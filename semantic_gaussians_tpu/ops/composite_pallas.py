@@ -202,11 +202,16 @@ def _fwd_kernel(cfg: CompositeConfig):
         cacc_ref[:] = jnp.zeros((num_ch, cfg.px), jnp.float32)
 
         def dma(k):
+            slot = jax.lax.rem(k, 2)
             return pltpu.make_async_copy(
                 pairs_hbm.at[:, pl.ds(aligned + k * CHUNK, CHUNK)],
-                chunk_buf.at[0],
-                sems.at[0],
+                chunk_buf.at[slot],
+                sems.at[slot],
             )
+
+        @pl.when(nchunks > 0)
+        def _():
+            dma(0).start()
 
         def cond(state):
             # Early exit once every pixel has hit its termination event —
@@ -218,10 +223,15 @@ def _fwd_kernel(cfg: CompositeConfig):
         def body(state):
             k, T, dmed, done_f, last = state  # (1, PX) rows; done_f 0/1 f32
             done = done_f > 0.0
-            d = dma(k)
-            d.start()
-            d.wait()
-            bt = chunk_buf[0].T  # (CHUNK, D)
+
+            # prefetch next chunk while computing this one (drained after
+            # the loop if the early exit leaves it in flight)
+            @pl.when(k + 1 < nchunks)
+            def _():
+                dma(k + 1).start()
+
+            dma(k).wait()
+            bt = chunk_buf[jax.lax.rem(k, 2)].T  # (CHUNK, D)
             a = _alpha_terms(bt, px_x, px_y, cfg)
 
             # Sublane j corresponds to aligned-range index k*CHUNK + j; the
@@ -269,7 +279,13 @@ def _fwd_kernel(cfg: CompositeConfig):
             jnp.zeros((1, cfg.px), jnp.float32),
             jnp.zeros((1, cfg.px), jnp.float32),
         )
-        _, T, dmed, _, last = jax.lax.while_loop(cond, body, init)
+        k_final, T, dmed, _, last = jax.lax.while_loop(cond, body, init)
+
+        # Early exit can leave the prefetch of chunk k_final in flight; the
+        # semaphore must be drained before the next grid step reuses it.
+        @pl.when((k_final < nchunks) & (k_final > 0))
+        def _():
+            dma(k_final).wait()
 
         out_color_ref[0] = cacc_ref[:] + bg_ref[:] * T
         out_depth_ref[0] = dmed
@@ -363,11 +379,16 @@ def _bwd_kernel(cfg: CompositeConfig):
         )
 
         def dma_in(k):
+            slot = jax.lax.rem(k, 2)
             return pltpu.make_async_copy(
                 pairs_hbm.at[:, pl.ds(aligned + k * CHUNK, CHUNK)],
-                chunk_buf.at[0],
-                sems.at[0],
+                chunk_buf.at[slot],
+                sems.at[slot],
             )
+
+        @pl.when(active > 0)
+        def _():
+            dma_in(active - 1).start()
 
         def merged_write(k):
             """DMA gbuf out to chunk k, preserving the previous tile's
@@ -405,10 +426,13 @@ def _bwd_kernel(cfg: CompositeConfig):
             # unchanged across them — starting from t_final is exact.)
             b, s = carry
             k = active - 1 - i  # active chunks walked back-to-front
-            d = dma_in(k)
-            d.start()
-            d.wait()
-            bt = chunk_buf[0].T  # (CHUNK, D)
+
+            @pl.when(k > 0)
+            def _():
+                dma_in(k - 1).start()
+
+            dma_in(k).wait()
+            bt = chunk_buf[jax.lax.rem(k, 2)].T  # (CHUNK, D)
             a = _alpha_terms(bt, px_x, px_y, cfg)
 
             j_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + k * CHUNK
