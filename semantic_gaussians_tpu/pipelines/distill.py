@@ -33,6 +33,10 @@ class DistillConfig:
     epochs: int = 100
     loss_type: str = "cosine"  # cosine | l1 | l2
     aug: bool = True
+    # multiple 2D teachers: the net emits num_heads * feature_dim channels and
+    # each fused-feature source supervises its head slice (distill.py:118-124)
+    num_heads: int = 1
+    head_id: int = 0
 
 
 def make_distill_state(
@@ -41,7 +45,7 @@ def make_distill_state(
     """Init model params + optimizer. Returns (model, variables, tx, opt_state)."""
     model = mink_unet(
         in_channels=cfg.in_channels,
-        out_channels=cfg.feature_dim,
+        out_channels=cfg.feature_dim * cfg.num_heads,
         arch=cfg.model_3d,
     )
     rng = np.random.default_rng(seed)
@@ -73,6 +77,9 @@ def make_distill_step(model, tx, cfg: DistillConfig):
                 {"params": params, "batch_stats": variables["batch_stats"]},
                 feats, topo, train=True, mutable=["batch_stats"],
             )
+            out = out[
+                :, cfg.head_id * cfg.feature_dim : (cfg.head_id + 1) * cfg.feature_dim
+            ]
             if cfg.loss_type == "cosine":
                 loss = cosine_distill_loss(out, gt, mask=gt_mask)
             else:

@@ -152,3 +152,43 @@ def test_overflow_reported():
         proj, jnp.zeros(3), W, H, TILE, pair_budget=64, backend="pallas"
     )
     assert int(out["overflow"]) > 0
+
+
+def test_tile_boundary_gaussians():
+    """Hand-placed Gaussians exactly on tile seams (and off-screen) must
+    match the oracle — exercises rect clipping and head-alignment paths."""
+    from semantic_gaussians_tpu.ops.projection import ProjectedGaussians
+
+    rng = np.random.default_rng(7)
+    # pixel positions on/straddling every seam of the 2x8 (8,128)-tile grid,
+    # plus off-screen and corner cases
+    seam_pts = [
+        (127.5, 7.5), (128.0, 8.0), (128.5, 8.5), (0.0, 0.0),
+        (255.5, 63.5), (127.9, 31.9), (128.1, 32.1), (-5.0, 10.0),
+        (260.0, 10.0), (100.0, -3.0), (100.0, 66.0), (128.0, 0.0),
+        (0.0, 8.0), (255.0, 56.0), (64.0, 16.0), (192.0, 48.0),
+    ]
+    n = len(seam_pts)
+    means2d = jnp.asarray(np.array(seam_pts, np.float32))
+    sigma = rng.uniform(2.0, 6.0, size=n).astype(np.float32)
+    conics = jnp.asarray(
+        np.stack([1 / sigma**2, np.zeros(n, np.float32), 1 / sigma**2], -1)
+    )
+    proj = ProjectedGaussians(
+        means2d=means2d,
+        depths=jnp.asarray(rng.uniform(1, 5, size=n).astype(np.float32)),
+        conics=conics,
+        opacities=jnp.asarray(rng.uniform(0.3, 0.9, size=n).astype(np.float32)),
+        colors=jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32)),
+        radii=jnp.asarray(np.ceil(3 * sigma).astype(np.int32)),
+    )
+    out_t = rasterize(proj, jnp.zeros(3), W, H, TILE, backend="pallas")
+    out_d = rasterize(proj, jnp.zeros(3), W, H, TILE, backend="dense")
+    np.testing.assert_allclose(
+        np.asarray(out_t["render"]), np.asarray(out_d["render"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_t["depth"]), np.asarray(out_d["depth"]),
+        rtol=1e-4, atol=1e-4,
+    )
