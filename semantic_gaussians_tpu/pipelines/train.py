@@ -210,6 +210,7 @@ def train_loop(
     log_every: int = 0,
     pair_budget: Optional[int] = None,
     tb_dir: Optional[str] = None,
+    iter_offset: int = 0,
 ):
     """Host-side driver (single process, single device).
 
@@ -237,7 +238,8 @@ def train_loop(
         from ..ops.binning import default_pair_budget
 
         pair_budget = default_pair_budget(state.params.capacity)
-    for it in range(1, iters + 1):
+    for rel_it in range(1, iters + 1):
+        it = iter_offset + rel_it
         if not order:
             order = list(rng.permutation(len(cameras)))
         cam = cameras[order.pop()]

@@ -127,6 +127,7 @@ def main():
             state, cameras, tc, key, scene.nerf_normalization["radius"],
             num_iters=target - done, backend=backend, log_every=100,
             pair_budget=budget, tb_dir=str(out_dir / "tb_logs"),
+            iter_offset=done,
         )
         done = target
         if target in test_iters and test_cams:
