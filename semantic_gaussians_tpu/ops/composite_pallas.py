@@ -109,10 +109,34 @@ def _tri(mode: str) -> jnp.ndarray:
     return m.astype(jnp.float32)
 
 
-def _dotg(a, b, dims):
+def _dotg(a, b, dims, precision=None):
     return jax.lax.dot_general(
-        a, b, (dims, ((), ())), preferred_element_type=jnp.float32
+        a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
     )
+
+
+# Value matmuls (color accumulation and its backward counterparts) run at
+# HIGHEST: MXU default f32 (bf16x3) drifts ~3e-3 at the image level vs the
+# sequential oracle over hundreds of composited splats.
+_TRI_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _cumsum_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along axis 0 (the CHUNK/sublane axis), exact f32.
+
+    Mosaic has no cumsum lowering; log-step masked rolls on the VPU are both
+    exact (plain f32 adds, matching the sequential oracle) and cheaper than
+    the (CHUNK, CHUNK) triangular matmul they replace.
+    """
+    rows = x.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < rows:
+        rolled = pltpu.roll(x, shift, axis=0)
+        x = x + jnp.where(row_ids >= shift, rolled, 0.0)
+        shift *= 2
+    return x
 
 
 def _alpha_terms(bt, px_x, px_y, cfg):
@@ -241,17 +265,21 @@ def _fwd_kernel(cfg: CompositeConfig):
             candidate = a["candidate"] & row_valid
             alpha_c = jnp.where(candidate, a["alpha"], 0.0)  # (CHUNK, PX)
             l = jnp.log1p(-alpha_c)
-            t_j = T * jnp.exp(_dotg(m_pre, l, ((1,), (0,))))
+            lcum = _cumsum_rows(l)  # inclusive, exact f32 on VPU
+            t_j = T * jnp.exp(lcum - l)  # exclusive prefix
             test_t = t_j * (1.0 - alpha_c)
             terminate = candidate & (test_t < T_EPS)
-            term_before = _dotg(
-                m_pre, terminate.astype(jnp.float32), ((1,), (0,))
-            ) > 0.0
+            term_f = terminate.astype(jnp.float32)
+            term_before = (_cumsum_rows(term_f) - term_f) > 0.0
             contribute = candidate & (~terminate) & (~term_before) & (~done)
             w = jnp.where(contribute, alpha_c * t_j, 0.0)  # (CHUNK, PX)
 
             # (CHUNK, C)^T x (CHUNK, PX) -> (C, PX), accumulated in VMEM.
-            cacc_ref[:] = cacc_ref[:] + _dotg(a["colors"], w, ((0,), (0,)))
+            # HIGHEST: default MXU f32 drifts ~3e-3 vs the sequential oracle
+            # over hundreds of composited splats.
+            cacc_ref[:] = cacc_ref[:] + _dotg(
+                a["colors"], w, ((0,), (0,)), _TRI_PRECISION
+            )
 
             hit = (contribute & (t_j > 0.5) & (test_t < 0.5)).astype(jnp.float32)
             dhit = _dotg(a["depth"], hit, ((0,), (0,)))  # (1, PX)
@@ -362,13 +390,11 @@ def _bwd_kernel(cfg: CompositeConfig):
     ):
         aligned, head, count, nchunks = _tile_range(tile_start_ref, tile_count_ref)
         px_x, px_y = _pixel_coords(cfg)
-        m_suf_in = _tri("suffix_incl")
-        m_suf_ex = _tri("suffix_excl")
 
         ghat = gcolor_ref[0]  # (C, PX)
         t_final = final_t_ref[0]  # (1, PX)
         n_contrib = n_contrib_ref[0].astype(jnp.float32)  # (1, PX)
-        bgdot = _dotg(bg_ref[:], ghat, ((0,), (0,)))  # (1, PX)
+        bgdot = _dotg(bg_ref[:], ghat, ((0,), (0,)), _TRI_PRECISION)  # (1, PX)
 
         # Chunks past the last contributor of any pixel hold no gradient:
         # walk only the active prefix, zero-fill the rest (their pair rows
@@ -443,12 +469,17 @@ def _bwd_kernel(cfg: CompositeConfig):
             alpha_c = jnp.where(contribute, a["alpha"], 0.0)
             l = jnp.log1p(-alpha_c)
             # T before j = B / prod_{i >= j} (1 - alpha_i)
-            t_j = b * jnp.exp(-_dotg(m_suf_in, l, ((1,), (0,))))
+            lcum = _cumsum_rows(l)  # inclusive prefix
+            ltot = jnp.sum(l, axis=0, keepdims=True)
+            t_j = b * jnp.exp(-(ltot - lcum + l))  # suffix-inclusive
             w = alpha_c * t_j
 
-            q = _dotg(a["colors"], ghat, ((1,), (0,)))  # (CHUNK, PX)
+            q = _dotg(
+                a["colors"], ghat, ((1,), (0,)), _TRI_PRECISION
+            )  # (CHUNK, PX)
             wq = w * q
-            u = _dotg(m_suf_ex, wq, ((1,), (0,))) + s  # strict suffix, global
+            wqcum = _cumsum_rows(wq)
+            u = (jnp.sum(wq, axis=0, keepdims=True) - wqcum) + s  # strict suffix
             inv1ma = 1.0 / (1.0 - alpha_c)
             dalpha = jnp.where(
                 contribute,
@@ -465,7 +496,7 @@ def _bwd_kernel(cfg: CompositeConfig):
             dca = jnp.sum(dldp * (-0.5 * a["dx"] * a["dx"]), axis=1, keepdims=True)
             dcb = jnp.sum(dldp * (-a["dx"] * a["dy"]), axis=1, keepdims=True)
             dcc = jnp.sum(dldp * (-0.5 * a["dy"] * a["dy"]), axis=1, keepdims=True)
-            dcolor = _dotg(w, ghat, ((1,), (1,)))  # (CHUNK, C)
+            dcolor = _dotg(w, ghat, ((1,), (1,)), _TRI_PRECISION)  # (CHUNK, C)
 
             pad = cfg.row_width - (COL_COLOR + num_ch)
             pieces = [
