@@ -362,6 +362,9 @@ def _fwd_pallas(cfg: CompositeConfig, pair_data, bg, tile_start, tile_count):
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=cfg.interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(tile_start, tile_count, pair_data, bg.reshape(cfg.num_channels, 1))
     return color, depth[:, 0], final_t[:, 0], n_contrib[:, 0]
 
@@ -557,7 +560,12 @@ def _bwd_pallas(
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(pair_data.shape, jnp.float32)],
         interpret=cfg.interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # wide-channel backward + HIGHEST-precision matmul scratch
+            # overflows the 16M default scoped-vmem limit at C=512
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(
         tile_start, tile_count, pair_data,
         bg.reshape(cfg.num_channels, 1), g_color,
