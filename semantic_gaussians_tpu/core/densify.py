@@ -86,6 +86,28 @@ def add_stats(
     )
 
 
+def add_stats_prereduced(
+    dstate: DensifyState,
+    norm_sum: jnp.ndarray,  # [cap] sum over views of per-view grad norms
+    vis_sum: jnp.ndarray,  # [cap] sum over views of visibility counts
+    radii_max: jnp.ndarray,  # [cap] max radii over views
+) -> DensifyState:
+    """Accumulate stats already reduced over a view batch.
+
+    Multi-view parity: the reference processes one view per step and adds a
+    per-view norm + a per-view visibility increment (gaussian_model.py:608-612).
+    With V views per parallel step, the equivalent accumulation is
+    sum_v ||g_v|| and sum_v visible_v — NOT ||mean_v g_v|| (cross-view
+    cancellation would under-trigger densification). Callers psum per-view
+    norms/counts across the mesh and pass the sums here.
+    """
+    return DensifyState(
+        xyz_grad_accum=dstate.xyz_grad_accum + norm_sum,
+        denom=dstate.denom + vis_sum,
+        max_radii2d=jnp.maximum(dstate.max_radii2d, radii_max.astype(jnp.float32)),
+    )
+
+
 def _insert(
     params: GaussianParams,
     alive: jnp.ndarray,

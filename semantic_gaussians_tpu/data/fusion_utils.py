@@ -88,9 +88,14 @@ def surface_depth(
     coords: jnp.ndarray,
     intrinsic: jnp.ndarray,
     image_dim: Tuple[int, int],
+    cut_bound: int = 0,
 ) -> jnp.ndarray:
     """Synthesize a z-buffer from the points themselves (depth='surface',
-    fusion_utils.py:57-61): per-pixel min depth via scatter-min."""
+    fusion_utils.py:57-61): per-pixel min depth via scatter-min.
+
+    Exact-parity masks: only points with z > 0.2 that pass the cut_bound
+    inside-bounds test contribute to the pseudo z-buffer (the reference's
+    loop condition `p[2,i] > 0.2 and inside_mask[i]`)."""
     w, h = image_dim
     p = coords @ world_to_camera[:3, :3].T + world_to_camera[:3, 3]
     z = p[:, 2]
@@ -101,7 +106,13 @@ def surface_depth(
     v = jnp.round(intrinsic[1, 1] * p[:, 1] / z_safe + intrinsic[1, 2]).astype(
         jnp.int32
     )
-    ok = (u >= 0) & (v >= 0) & (u < w) & (v < h) & (z > 0)
+    ok = (
+        (u >= cut_bound)
+        & (v >= cut_bound)
+        & (u < w - cut_bound)
+        & (v < h - cut_bound)
+        & (z > 0.2)
+    )
     idx = jnp.where(ok, v * w + u, h * w)  # out-of-range dropped
     buf = jnp.full((h * w + 1,), jnp.inf)
     buf = buf.at[idx].min(jnp.where(ok, z, jnp.inf))

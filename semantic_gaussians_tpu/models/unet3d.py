@@ -35,7 +35,29 @@ import numpy as np
 # Topology
 # ---------------------------------------------------------------------------
 GRID_BITS = 10  # 1024^3 voxel grid (20m rooms at 2cm); keys fit int32
+GRID_MAX = (1 << GRID_BITS) - 3  # max valid coord before the +2 key shift
 _BIG = jnp.int32(2**31 - 1)
+
+
+def validate_coords(coords, mask) -> None:
+    """Host-side guard for the int32 key packing.
+
+    _linearize clips coords to the 2**GRID_BITS grid, so distinct voxels
+    beyond the bound would silently collide into one key (wrong neighbor
+    joins / pooling with no error). Call this on concrete host data before
+    feeding a jitted step; build_topology calls it automatically when its
+    inputs are concrete."""
+    c = np.asarray(coords)
+    m = np.asarray(mask).astype(bool)
+    if m.any():
+        mn, mx = int(c[m].min()), int(c[m].max())
+        if mx >= GRID_MAX or mn < -2:
+            raise ValueError(
+                f"voxel coords span [{mn}, {mx}] but the int32 key packing "
+                f"supports [-2, {GRID_MAX}); shift coords to the voxel min "
+                f"and/or reduce the random global shift (scene too large for "
+                f"the {1 << GRID_BITS}^3 grid at this voxel size)"
+            )
 
 
 def _linearize(coords: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -145,6 +167,8 @@ def build_topology(
     offsets; we build both maps lazily: level 0 gets k=5, others k=3; blocks
     at level 0 use the center 27 of the 125).
     """
+    if not isinstance(coords, jax.core.Tracer):
+        validate_coords(coords, mask)
     levels = []
     links = []
     cur_c, cur_m = coords.astype(jnp.int32), mask

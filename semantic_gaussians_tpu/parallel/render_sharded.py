@@ -41,6 +41,7 @@ def render_sharded(
     tile_shape: Tuple[int, int] = DEFAULT_TILE,
     pair_budget: Optional[int] = None,
     axis: str = "data",
+    mean2d_offset: Optional[jnp.ndarray] = None,  # [N,2] zeros (densify stats)
 ) -> dict:
     """Render one camera with its tile rows sharded across `mesh`.
 
@@ -70,7 +71,7 @@ def render_sharded(
         interpret=jax.default_backend() == "cpu",
     )
 
-    def band_render(params, alive_in, override, bg_in):
+    def band_render(params, alive_in, override, bg_in, m2d_off):
         band = jax.lax.axis_index(axis)
         row0 = band * band_rows
         proj = project_gaussians(
@@ -89,6 +90,7 @@ def render_sharded(
             sh_degree=sh_degree,
             override_color=override,
             alive=None if alive_in is None else alive_in,
+            mean2d_offset=m2d_off,
         )
         # Shift into band-local pixel coordinates; the band is then an
         # independent (band_rows*th) x W render.
@@ -113,12 +115,12 @@ def render_sharded(
     shard = jax.shard_map(
         band_render,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         check_vma=False,
     )
     color, depth, final_t, n_contrib, overflow, radii = shard(
-        params, alive, override_color, bg
+        params, alive, override_color, bg, mean2d_offset
     )
     # concatenated tile-major buffers: (ndev*band_rows*grid_w, ...) — global
     # tile order is band-major == row-major, so _untile works directly with

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.densify import add_stats
+from ..core.densify import add_stats, add_stats_prereduced
 from ..core.optimizer import adam_update, lr_tree
 from ..pipelines.train import TrainConfig, TrainState
 from ..renderer import render
@@ -70,14 +70,22 @@ def make_parallel_train_step(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.params, offset0)
 
-        # Collectives over ICI: average parameter grads; sum densify stats.
+        # Collectives over ICI: average parameter grads; SUM densify stats.
+        # Densify parity (gaussian_model.py:608-612): the reference adds a
+        # per-view grad norm + per-view visibility count; averaging grads
+        # across views before the norm would cancel and under-trigger
+        # densification (ADVICE r1). So: norm locally, psum the norms/counts.
         gparams = jax.lax.pmean(gparams, axis)
-        goffset = jax.lax.pmean(goffset, axis)
+        visible = out["radii"] > 0
+        g = goffset * jnp.array([[cam.width * 0.5, cam.height * 0.5]])
+        norm_local = jnp.where(visible, jnp.linalg.norm(g, axis=-1), 0.0)
+        norm_sum = jax.lax.psum(norm_local, axis)
+        vis_sum = jax.lax.psum(visible.astype(jnp.float32), axis)
         radii_any = jax.lax.pmax(out["radii"], axis)
         loss = jax.lax.pmean(loss, axis)
         step_psnr = jax.lax.pmean(psnr(out["render"], cam.image), axis)
 
-        dstate = add_stats(state.dstate, goffset, radii_any, cam.width, cam.height)
+        dstate = add_stats_prereduced(state.dstate, norm_sum, vis_sum, radii_any)
         lrs = lr_tree(cfg.hyper, cfg.spatial_lr_scale, state.step)
         new_params, new_adam = adam_update(
             gparams, state.adam, state.params, lrs, cfg.hyper
@@ -116,33 +124,39 @@ def make_band_train_step(
     This is the BASELINE.md north-star schedule: pixels/tiles across chips,
     Gaussians replicated.
     """
-    from ..core.densify import add_stats
     from .render_sharded import render_sharded
 
     def step(state: TrainState, cam: Camera, bg):
-        def loss_fn(params):
+        offset0 = jnp.zeros((state.params.capacity, 2), jnp.float32)
+
+        def loss_fn(params, offset):
             out = render_sharded(
                 cam, params, state.alive, mesh, bg,
                 active_sh_degree=active_sh_degree, pair_budget=pair_budget,
-                axis=axis,
+                axis=axis, mean2d_offset=offset,
             )
             return (
                 photometric_loss(out["render"], cam.image, cfg.lambda_dssim),
                 out,
             )
 
-        # NOTE: densification stats (mean2D grads) are not yet plumbed
-        # through the banded path; pair band training with periodic
-        # single-chip densify steps, or use the view-parallel step.
-        (loss, out), gparams = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
+        # The offset is a replicated shard_map input, so its cotangent is
+        # psum'd over bands by the transpose — goffset equals the single-chip
+        # full-image mean2D gradient, giving bitwise-equivalent densify
+        # decisions (one view per step here; ref train.py:156-161).
+        (loss, out), (gparams, goffset) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, offset0)
+        dstate = add_stats(
+            state.dstate, goffset, out["radii"], cam.width, cam.height
         )
         lrs = lr_tree(cfg.hyper, cfg.spatial_lr_scale, state.step)
         new_params, new_adam = adam_update(
             gparams, state.adam, state.params, lrs, cfg.hyper
         )
         new_state = dataclasses.replace(
-            state, params=new_params, adam=new_adam, step=state.step + 1
+            state, params=new_params, adam=new_adam, dstate=dstate,
+            step=state.step + 1,
         )
         metrics = dict(
             loss=loss,

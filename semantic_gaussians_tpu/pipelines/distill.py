@@ -185,7 +185,13 @@ def train_distill(
         order = rng.permutation(len(dataset))
         for i in order:
             item = dataset.__getitem__(int(i), seed=int(rng.integers(1 << 31)))
-            coords = item.coords + rng.integers(0, 100, size=(1, 3)).astype(
+            # random global shift (ref distill.py:104), capped so shifted
+            # coords stay inside the unet3d int32-key grid (no key collisions)
+            from ..models.unet3d import GRID_MAX
+
+            max_c = int(item.coords.max()) if item.coords.size else 0
+            hi = max(1, min(100, GRID_MAX - max_c))
+            coords = item.coords + rng.integers(0, hi, size=(1, 3)).astype(
                 np.int32
             )
             variables, opt_state, loss = step(

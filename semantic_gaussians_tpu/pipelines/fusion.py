@@ -129,7 +129,8 @@ def fuse_scene(
             depth_map = jnp.asarray(d / cfg.depth_scale)
         elif cfg.depth == "surface":
             depth_map = surface_depth(
-                cam.world_view, params.means, intrinsic, cfg.img_dim
+                cam.world_view, params.means, intrinsic, cfg.img_dim,
+                cfg.cut_boundary,
             )
         elif cfg.depth in (None, "none", "None"):
             depth_map = None

@@ -67,13 +67,16 @@ def init_train_state(params: GaussianParams, alive: jnp.ndarray) -> TrainState:
     )
 
 
-def _edge_mask(h: int, w: int, cut_edge: bool) -> Optional[jnp.ndarray]:
+def _edge_crop(h: int, w: int, cut_edge: bool):
+    """Static crop slices for cut_edge (ref train.py:139-146 crops h//100).
+
+    Cropping (not masking) keeps the loss mean's denominator and the SSIM
+    window statistics identical to the reference; a zero border would inject
+    SSIM=1 regions and fake edges into the 11x11 SAME-padded windows.
+    """
     if not cut_edge:
         return None
-    # train.py:139-145: drop ~1% border
-    mh, mw = int(h * 0.01), int(w * 0.01)
-    m = jnp.zeros((h, w, 1))
-    return m.at[mh : h - mh, mw : w - mw].set(1.0)
+    return h // 100, w // 100
 
 
 @partial(
@@ -91,7 +94,7 @@ def train_step(
 ):
     """One optimization step. Returns (new_state, metrics dict)."""
     offset0 = jnp.zeros((state.params.capacity, 2), jnp.float32)
-    mask = _edge_mask(camera.height, camera.width, cfg.cut_edge)
+    crop = _edge_crop(camera.height, camera.width, cfg.cut_edge)
 
     def loss_fn(params, offset):
         out = render(
@@ -106,9 +109,10 @@ def train_step(
         )
         pred = out["render"]
         gt = camera.image
-        if mask is not None:
-            pred = pred * mask
-            gt = gt * mask
+        if crop is not None:
+            ch, cw = crop
+            pred = pred[ch : camera.height - ch, cw : camera.width - cw]
+            gt = gt[ch : camera.height - ch, cw : camera.width - cw]
         loss = photometric_loss(pred, gt, cfg.lambda_dssim)
         return loss, out
 
@@ -243,7 +247,8 @@ def train_loop(
         if not order:
             order = list(rng.permutation(len(cameras)))
         cam = cameras[order.pop()]
-        sh_deg = min(cfg.max_sh_degree, (it - 1) // 1000)
+        # ref train.py:117: oneupSHdegree at it % 1000 == 0, before render
+        sh_deg = min(cfg.max_sh_degree, it // 1000)
         step_bg = bg
         if cfg.random_background:
             key, sub = jax.random.split(key)
@@ -278,8 +283,13 @@ def train_loop(
                     np.asarray(state.params.opacity)[np.asarray(state.alive)],
                     it,
                 )
-        if it > cfg.densify_from_iter and it <= cfg.densify_until_iter:
-            if it % cfg.densification_interval == 0:
+        # ref train.py:155-174: all densify/reset logic gated on
+        # it < densify_until_iter (strict)
+        if it < cfg.densify_until_iter:
+            if (
+                it > cfg.densify_from_iter
+                and it % cfg.densification_interval == 0
+            ):
                 key, sub = jax.random.split(key)
                 state, dropped = densify_step(
                     state, sub, scene_extent, cfg,
@@ -288,8 +298,10 @@ def train_loop(
                 # planned capacity doubling when the buffer fills up
                 if int(num_alive(state.alive)) > 0.85 * state.params.capacity:
                     state = grow_capacity(state)
-        if it % cfg.opacity_reset_interval == 0 and it <= cfg.densify_until_iter:
-            state = opacity_reset_step(state)
+            if it % cfg.opacity_reset_interval == 0 or (
+                cfg.white_background and it == cfg.densify_from_iter
+            ):
+                state = opacity_reset_step(state)
         if log_every and it % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             history.append((it, m))
