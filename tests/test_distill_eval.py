@@ -1,5 +1,6 @@
 """Distillation + evaluation pipeline tests (small nets, CPU)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +35,7 @@ def _make_scene_files(tmp_path, rng, n=120, c=16):
     return params, alive, str(ply), str(fused)
 
 
+@pytest.mark.slow
 def test_distill_loss_decreases(tmp_path, rng):
     _, _, ply, fused = _make_scene_files(tmp_path, rng)
     ds = FeatureDataset(

@@ -2,6 +2,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -160,6 +161,7 @@ def test_render_options(rng):
     )
 
 
+@pytest.mark.slow
 def test_logging_utils(tmp_path):
     from semantic_gaussians_tpu.utils.logging_utils import StepTimer, TBLogger
 

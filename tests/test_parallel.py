@@ -2,6 +2,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +25,7 @@ def _scene(n=200, seed=0):
     return init_from_pcd(pts, cols, sh_degree=2, capacity=256)
 
 
+@pytest.mark.slow
 def test_band_sharded_matches_single_device():
     params, alive = _scene()
     # 8 devices x 8-px bands -> 64 rows minimum; use 128x64 image
@@ -43,6 +45,7 @@ def test_band_sharded_matches_single_device():
     assert int(out_s["overflow"]) == 0
 
 
+@pytest.mark.slow
 def test_band_sharded_gradients_psum():
     params, alive = _scene(n=150)
     cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.9, 128, 64)
@@ -85,6 +88,7 @@ def test_view_parallel_step_runs():
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_parallel_distill_step():
     from semantic_gaussians_tpu.pipelines.distill import (
         DistillConfig,

@@ -2,6 +2,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +44,7 @@ def _toy_scene(seed=0, n=200):
     return init_from_pcd(pts, cols, sh_degree=2, capacity=1024)
 
 
+@pytest.mark.slow
 def test_train_improves_psnr():
     gt_params, gt_alive = _toy_scene(seed=1)
     cams = _ring_cameras(4)
@@ -135,6 +137,7 @@ def test_densify_prune_low_opacity():
     assert int(num_alive(new_alive)) == 70
 
 
+@pytest.mark.slow
 def test_densify_capacity_overflow_reported():
     rng = np.random.default_rng(0)
     pts = rng.normal(size=(100, 3)).astype(np.float32)

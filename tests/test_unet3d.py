@@ -1,5 +1,6 @@
 """Sparse-voxel UNet tests: topology joins, conv semantics, full net."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -73,6 +74,7 @@ def test_sparse_conv_center_only():
     assert (np.asarray(out)[3:] == 0).all()  # masked rows zero
 
 
+@pytest.mark.slow
 def test_full_unet_runs_and_masks():
     rng = np.random.default_rng(0)
     n, cap = 200, 256
@@ -90,6 +92,7 @@ def test_full_unet_runs_and_masks():
     assert np.abs(out[np.asarray(m)]).sum() > 0
 
 
+@pytest.mark.slow
 def test_unet_train_mode_updates_stats():
     rng = np.random.default_rng(0)
     cap = 128
