@@ -43,20 +43,27 @@ class TileBinning:
 
 def tile_rects(
     means2d: jnp.ndarray,
-    radii: jnp.ndarray,
+    radii_xy: jnp.ndarray,  # [N, 2] per-axis half-extents (0 = culled)
     tile_shape: Tuple[int, int],
     grid_shape: Tuple[int, int],
 ):
-    """Per-Gaussian touched tile rectangle; getRect (auxiliary.h:46-56)."""
+    """Per-Gaussian touched tile rectangle — getRect (auxiliary.h:46-56) with
+    per-axis extents (see projection.py radii_xy: output-identical, fewer
+    pairs than the reference's circular radius)."""
     th, tw = tile_shape
     nty, ntx = grid_shape
-    r = radii.astype(jnp.float32)
+    rx = radii_xy[:, 0].astype(jnp.float32)
+    ry = radii_xy[:, 1].astype(jnp.float32)
     x, y = means2d[:, 0], means2d[:, 1]
-    x0 = jnp.clip(jnp.floor((x - r) / tw), 0, ntx).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((x + r + tw - 1) / tw), 0, ntx).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((y - r) / th), 0, nty).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((y + r + th - 1) / th), 0, nty).astype(jnp.int32)
-    counts = jnp.where(radii > 0, (x1 - x0) * (y1 - y0), 0)
+    x0 = jnp.clip(jnp.floor((x - rx) / tw), 0, ntx).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((x + rx + tw - 1) / tw), 0, ntx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((y - ry) / th), 0, nty).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((y + ry + th - 1) / th), 0, nty).astype(jnp.int32)
+    counts = jnp.where(
+        (radii_xy[:, 0] > 0) & (radii_xy[:, 1] > 0),
+        (x1 - x0) * (y1 - y0),
+        0,
+    )
     return x0, x1, y0, y1, counts
 
 
@@ -66,7 +73,7 @@ def tile_rects(
 def bin_gaussians(
     means2d: jnp.ndarray,
     depths: jnp.ndarray,
-    radii: jnp.ndarray,
+    radii_xy: jnp.ndarray,  # [N, 2] per-axis rect half-extents
     tile_shape: Tuple[int, int],
     grid_shape: Tuple[int, int],
     pair_budget: int,
@@ -79,11 +86,13 @@ def bin_gaussians(
     # order, then a SINGLE-KEY STABLE sort by tile id gives per-tile
     # depth-ordered lists — much cheaper than a 2-key lexicographic sort of
     # the full pair list (the cub radix-sort analogue, rasterizer_impl.cu:302).
-    x0, x1, y0, y1, counts = tile_rects(means2d, radii, tile_shape, grid_shape)
+    x0, x1, y0, y1, counts = tile_rects(
+        means2d, radii_xy, tile_shape, grid_shape
+    )
     # Multi-payload sort carries the rect data INTO depth order directly:
     # argsort + five `x[depth_order]` gathers run on the TPU scalar core at
     # ~3.7ms each; one variadic sort is ~1ms total.
-    depth_key = jnp.where(radii > 0, depths, jnp.inf)
+    depth_key = jnp.where(counts > 0, depths, jnp.inf)
     _, counts_d, x0d, wd, y0d, idx_d = jax.lax.sort(
         (
             depth_key,

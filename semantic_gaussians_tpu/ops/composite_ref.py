@@ -45,15 +45,16 @@ def rasterize_dense(
     n = proj.means2d.shape[0]
     num_ch = proj.colors.shape[-1]
 
-    # Global depth order; culled entries (radius 0, opacity already 0) last.
-    sort_depth = jnp.where(proj.radii > 0, proj.depths, jnp.inf)
+    # Global depth order; culled entries (zero extent, opacity 0) last.
+    has_rect = (proj.radii_xy[:, 0] > 0) & (proj.radii_xy[:, 1] > 0)
+    sort_depth = jnp.where(has_rect, proj.depths, jnp.inf)
     order = jnp.argsort(sort_depth)
     means2d = proj.means2d[order]
     conics = proj.conics[order]
     opac = proj.opacities[order]
     colors = proj.colors[order]
     depths = proj.depths[order]
-    radii = proj.radii[order]
+    radii_xy = proj.radii_xy[order]
 
     ys = jnp.arange(img_height, dtype=jnp.float32)
     xs = jnp.arange(img_width, dtype=jnp.float32)
@@ -68,7 +69,7 @@ def rasterize_dense(
 
     def step(state, row):
         T, C, D, done, n_contrib = state
-        mean2d, conic, o, color, depth, radius = row
+        mean2d, conic, o, color, depth, rect_xy = row
         dx = mean2d[0] - px_x
         dy = mean2d[1] - px_y
         power = (
@@ -80,16 +81,19 @@ def rasterize_dense(
         alpha = jnp.minimum(MAX_ALPHA, o * jnp.exp(jnp.minimum(power, 0.0)))
         candidate = (power <= 0.0) & (alpha >= ALPHA_CUTOFF)
         if tile_shape is not None:
-            # getRect clamp (auxiliary.h:46-56): pixel visible only if its tile
-            # is inside the Gaussian's rect.
-            x0 = jnp.clip(((mean2d[0] - radius) / tw).astype(jnp.int32), 0, ntx)
+            # getRect clamp (auxiliary.h:46-56) with the per-axis extents the
+            # tiled binning uses: pixel visible only if its tile is inside
+            # the Gaussian's rect.
+            rx = rect_xy[0].astype(jnp.float32)
+            ry = rect_xy[1].astype(jnp.float32)
+            x0 = jnp.clip(jnp.floor((mean2d[0] - rx) / tw), 0, ntx).astype(jnp.int32)
             x1 = jnp.clip(
-                ((mean2d[0] + radius + tw - 1) / tw).astype(jnp.int32), 0, ntx
-            )
-            y0 = jnp.clip(((mean2d[1] - radius) / th).astype(jnp.int32), 0, nty)
+                jnp.floor((mean2d[0] + rx + tw - 1) / tw), 0, ntx
+            ).astype(jnp.int32)
+            y0 = jnp.clip(jnp.floor((mean2d[1] - ry) / th), 0, nty).astype(jnp.int32)
             y1 = jnp.clip(
-                ((mean2d[1] + radius + th - 1) / th).astype(jnp.int32), 0, nty
-            )
+                jnp.floor((mean2d[1] + ry + th - 1) / th), 0, nty
+            ).astype(jnp.int32)
             in_rect = (
                 (tile_ix >= x0) & (tile_ix < x1) & (tile_iy >= y0) & (tile_iy < y1)
             )
@@ -114,7 +118,7 @@ def rasterize_dense(
         jnp.zeros((img_height, img_width), jnp.int32),
     )
     (T, C, D, _, n_contrib), _ = jax.lax.scan(
-        step, init, (means2d, conics, opac, colors, depths, radii)
+        step, init, (means2d, conics, opac, colors, depths, radii_xy)
     )
     render = C + T[..., None] * bg[None, None, :]
     return dict(render=render, depth=D, final_T=T, n_contrib=n_contrib)

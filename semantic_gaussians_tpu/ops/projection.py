@@ -38,7 +38,10 @@ class ProjectedGaussians:
     conics: jnp.ndarray  # [N, 3] inverse 2D covariance (a, b, c)
     opacities: jnp.ndarray  # [N]
     colors: jnp.ndarray  # [N, C]
-    radii: jnp.ndarray  # [N] int32 pixel radius (0 = culled)
+    radii: jnp.ndarray  # [N] int32 pixel radius (0 = culled); the
+    # reference's circular ceil(3*sigma_max) — visibility/densify-stat parity
+    radii_xy: jnp.ndarray  # [N, 2] int32 per-axis rect half-extents used for
+    # tile binning (tighter than the circle; see project_gaussians)
 
 
 def compute_cov2d(
@@ -161,6 +164,28 @@ def project_gaussians(
         valid = valid & alive
     radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
 
+    # Per-axis, opacity-aware rect half-extents (binning only; `radii` above
+    # keeps the reference's circular radius for visibility semantics).
+    # alpha >= 1/255 requires exp(-d_M^2/2) >= 1/(255*op), and the maximum of
+    # the quadratic form over the other axis is the marginal -dx^2/(2*Sxx),
+    # so |dx| <= sigma_x * sqrt(2*ln(255*op)) is a hard support bound: every
+    # pixel outside it fails the kernel's alpha cutoff. Clipping each axis at
+    # min(ceil(3*sigma_max), ceil(that)) therefore changes NOTHING in the
+    # output (contributor sets are identical) while cutting pair counts —
+    # ~2x for anisotropic splats, ~5x for low-opacity ones (op=0.01 =>
+    # 1.37 sigma). Tighter than getRect's square (auxiliary.h:46-56), which
+    # pays full-circle binning for pixels its own alpha test then rejects.
+    opac_m = jnp.where(valid, opacities, 0.0)
+    r_mah2 = 2.0 * jnp.log(jnp.maximum(255.0 * opac_m, 1.0))  # >= 0
+    r_mah = jnp.sqrt(r_mah2)
+    rx = jnp.minimum(radius_f, jnp.ceil(r_mah * jnp.sqrt(jnp.maximum(a, 0.0))))
+    ry = jnp.minimum(radius_f, jnp.ceil(r_mah * jnp.sqrt(jnp.maximum(c, 0.0))))
+    radii_xy = jnp.where(
+        (valid & (r_mah2 > 0.0))[:, None],
+        jnp.stack([rx, ry], axis=-1),
+        0.0,
+    ).astype(jnp.int32)
+
     # Colors: SH evaluated toward the camera, clamped at 0 (forward.cu:20-71),
     # or a caller-provided override (feature rendering).
     if override_color is not None:
@@ -177,14 +202,14 @@ def project_gaussians(
         raw = eval_sh(sh_degree, jnp.swapaxes(sh_coeffs, -1, -2), dirs) + 0.5
         colors = jnp.maximum(raw, 0.0)
 
-    opac = jnp.where(valid, opacities, 0.0)
     return ProjectedGaussians(
         means2d=means2d,
         depths=depths,
         conics=conics,
-        opacities=opac,
+        opacities=opac_m,
         colors=colors,
         radii=radii,
+        radii_xy=radii_xy,
     )
 
 

@@ -31,7 +31,11 @@ from .composite_pallas import (
 from .composite_ref import rasterize_dense
 from .projection import ProjectedGaussians
 
-DEFAULT_TILE: Tuple[int, int] = (8, 128)
+# 16x32 tiles: per-pair kernel work scales with tile area (every pair's
+# alpha/transmittance math runs across the whole tile), and 512 px is the
+# sweet spot measured on v5e — 2x less VPU work than the r1 (8,128) tile at
+# a roughly equal pair count (taller rects match isotropic splats better).
+DEFAULT_TILE: Tuple[int, int] = (16, 32)
 
 
 def _pack_pair_cols(proj: ProjectedGaussians, binning: TileBinning) -> jnp.ndarray:
@@ -103,7 +107,7 @@ def rasterize(
     num_ch = proj.colors.shape[-1]
 
     binning = bin_gaussians(
-        proj.means2d, proj.depths, proj.radii, tile_shape,
+        proj.means2d, proj.depths, proj.radii_xy, tile_shape,
         (grid_h, grid_w), budget,
     )
     cfg = CompositeConfig(

@@ -99,7 +99,7 @@ def render_sharded(
         means2d_local = proj.means2d - jnp.array([[0.0, row0 * th]])
         proj = _dc.replace(proj, means2d=means2d_local)
         binning = bin_gaussians(
-            proj.means2d, proj.depths, proj.radii, tile_shape,
+            proj.means2d, proj.depths, proj.radii_xy, tile_shape,
             (band_rows, grid_w), budget,
         )
         pair_data = pad_pair_cols(_pack_pair_cols(proj, binning), cfg)

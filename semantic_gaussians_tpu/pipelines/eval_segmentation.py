@@ -48,7 +48,7 @@ def predict_label_image(
     text: jnp.ndarray,  # [K+1, D] ('other' row 0)
     pred_on_3d: bool = False,
     backend: str = "pallas",
-    tile_shape=(8, 128),
+    tile_shape=None,
 ) -> jnp.ndarray:
     """[H, W] int32 predicted ids in [0, K]; K = unlabeled/other
     (class ids 0-based, 'other'/empty mapped to K)."""

@@ -82,7 +82,7 @@ def fuse_scene(
     cfg: FusionConfig = FusionConfig(),
     image_paths: Optional[Sequence[str]] = None,
     depth_paths: Optional[Sequence[str]] = None,
-    tile_shape=(8, 128),
+    tile_shape=None,
     backend: str = "pallas",
 ):
     """Fuse features over every k-th view.

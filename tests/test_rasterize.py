@@ -174,13 +174,15 @@ def test_tile_boundary_gaussians():
     conics = jnp.asarray(
         np.stack([1 / sigma**2, np.zeros(n, np.float32), 1 / sigma**2], -1)
     )
+    radii_np = np.ceil(3 * sigma).astype(np.int32)
     proj = ProjectedGaussians(
         means2d=means2d,
         depths=jnp.asarray(rng.uniform(1, 5, size=n).astype(np.float32)),
         conics=conics,
         opacities=jnp.asarray(rng.uniform(0.3, 0.9, size=n).astype(np.float32)),
         colors=jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32)),
-        radii=jnp.asarray(np.ceil(3 * sigma).astype(np.int32)),
+        radii=jnp.asarray(radii_np),
+        radii_xy=jnp.asarray(np.stack([radii_np, radii_np], -1)),
     )
     out_t = rasterize(proj, jnp.zeros(3), W, H, TILE, backend="pallas")
     out_d = rasterize(proj, jnp.zeros(3), W, H, TILE, backend="dense")
