@@ -139,28 +139,62 @@ def _cumsum_rows(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _alpha_terms(bt, px_x, px_y, cfg):
+def _cumprod_rows_excl(x: jnp.ndarray) -> jnp.ndarray:
+    """EXCLUSIVE prefix product along axis 0 via masked log-step rolls.
+
+    Forward transmittance only ever shrinks (no divisions), so the
+    multiplicative form is safe where the backward's suffix *quotients*
+    are not (products of up to 128 factors >= 0.01 underflow f32; the
+    backward stays in log space)."""
+    rows = x.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < rows:
+        rolled = pltpu.roll(x, shift, axis=0)
+        x = x * jnp.where(row_ids >= shift, rolled, 1.0)
+        shift *= 2
+    # inclusive -> exclusive: shift down one row, row 0 = 1
+    return jnp.where(row_ids >= 1, pltpu.roll(x, 1, axis=0), 1.0)
+
+
+def _pixel_basis(cfg):
+    """Tile-CENTERED pixel polynomial basis rows [1, x, y, x^2, y^2, xy],
+    shape (6, PX), with x/y measured from the tile's pixel centroid
+    (so |x| <= tile_w/2). Centering halves coordinate magnitudes, which
+    quarters the worst-case f32 cancellation in the backward's expanded
+    moment reconstructions (dca = mx^2 M0 - 2 mx Mx + Mxx, ...)."""
+    p_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.px), 1)
+    ly = (p_ids // cfg.tile_w).astype(jnp.float32) - 0.5 * (cfg.tile_h - 1)
+    lx = (p_ids % cfg.tile_w).astype(jnp.float32) - 0.5 * (cfg.tile_w - 1)
+    one = jnp.ones((1, cfg.px), jnp.float32)
+    return jnp.concatenate([one, lx, ly, lx * lx, ly * ly, lx * ly], axis=0)
+
+
+def _alpha_terms(bt, basis, tox, toy, cfg):
     """Shared forward/backward alpha math for one (CHUNK, D) working block.
 
-    px_x/px_y are (1, PX); per-Gaussian columns are (CHUNK, 1); the cross
-    terms are (CHUNK, PX).
+    mx/my are re-expressed relative to the tile's pixel centroid (matching
+    `_pixel_basis`); dx/dy and the exponent use the plain per-element VPU
+    form (forward.cu:336-341 math) which is exact f32 — the expanded
+    polynomial-basis form loses ~1e-3 to cancellation and is reserved for
+    the backward's *reductions* where terms are contracted over pixels.
     """
-    mx = bt[:, COL_MX : COL_MX + 1]
-    my = bt[:, COL_MY : COL_MY + 1]
+    mx = bt[:, COL_MX : COL_MX + 1] - tox  # tile-centered
+    my = bt[:, COL_MY : COL_MY + 1] - toy
     ca = bt[:, COL_CA : COL_CA + 1]
     cb = bt[:, COL_CB : COL_CB + 1]
     cc = bt[:, COL_CC : COL_CC + 1]
     op = bt[:, COL_OP : COL_OP + 1]
     depth = bt[:, COL_DEPTH : COL_DEPTH + 1]
     colors = bt[:, COL_COLOR : COL_COLOR + cfg.num_channels]  # (CHUNK, C)
-    dx = mx - px_x  # (CHUNK, PX)
-    dy = my - px_y
+    dx = mx - basis[1:2]  # (CHUNK, PX)
+    dy = my - basis[2:3]
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     g = jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(MAX_ALPHA, op * g)
     candidate = (power <= 0.0) & (alpha >= ALPHA_CUTOFF)
     return dict(
-        dx=dx, dy=dy, g=g, alpha=alpha, candidate=candidate,
+        mx=mx, my=my, g=g, alpha=alpha, candidate=candidate,
         ca=ca, cb=cb, cc=cc, op=op, depth=depth, colors=colors,
     )
 
@@ -176,16 +210,6 @@ def _tile_range(tile_start_ref, tile_count_ref):
     head = start - aligned
     nchunks = pl.cdiv(head + count, CHUNK)
     return aligned, head, count, nchunks
-
-
-def _pixel_coords(cfg):
-    """Pixel coordinates as (1, PX) rows (pixels on lanes)."""
-    ty = pl.program_id(0)
-    tx = pl.program_id(1)
-    p_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.px), 1)
-    px_y = (ty * cfg.tile_h + p_ids // cfg.tile_w).astype(jnp.float32)
-    px_x = (tx * cfg.tile_w + p_ids % cfg.tile_w).astype(jnp.float32)
-    return px_x, px_y
 
 
 def _ntx(cfg):
@@ -221,7 +245,13 @@ def _fwd_kernel(cfg: CompositeConfig):
         sems,  # DMA (2,)
     ):
         aligned, head, count, nchunks = _tile_range(tile_start_ref, tile_count_ref)
-        px_x, px_y = _pixel_coords(cfg)
+        basis = _pixel_basis(cfg)
+        tox = (pl.program_id(1) * cfg.tile_w).astype(jnp.float32) + 0.5 * (
+            cfg.tile_w - 1
+        )
+        toy = (pl.program_id(0) * cfg.tile_h).astype(jnp.float32) + 0.5 * (
+            cfg.tile_h - 1
+        )
         m_pre = _tri("prefix_excl")
         cacc_ref[:] = jnp.zeros((num_ch, cfg.px), jnp.float32)
 
@@ -256,7 +286,7 @@ def _fwd_kernel(cfg: CompositeConfig):
 
             dma(k).wait()
             bt = chunk_buf[jax.lax.rem(k, 2)].T  # (CHUNK, D)
-            a = _alpha_terms(bt, px_x, px_y, cfg)
+            a = _alpha_terms(bt, basis, tox, toy, cfg)
 
             # Sublane j corresponds to aligned-range index k*CHUNK + j; the
             # true range occupies [head, head + count).
@@ -264,10 +294,11 @@ def _fwd_kernel(cfg: CompositeConfig):
             row_valid = (j_ids >= head) & (j_ids < head + count)
             candidate = a["candidate"] & row_valid
             alpha_c = jnp.where(candidate, a["alpha"], 0.0)  # (CHUNK, PX)
-            l = jnp.log1p(-alpha_c)
-            lcum = _cumsum_rows(l)  # inclusive, exact f32 on VPU
-            t_j = T * jnp.exp(lcum - l)  # exclusive prefix
-            test_t = t_j * (1.0 - alpha_c)
+            om = 1.0 - alpha_c
+            # Forward-only multiplicative prefix (no log/exp round trip;
+            # products only shrink, so no underflow-by-division risk).
+            t_j = T * _cumprod_rows_excl(om)
+            test_t = t_j * om
             terminate = candidate & (test_t < T_EPS)
             term_f = terminate.astype(jnp.float32)
             # Strict-prefix count of termination events via the MXU (default
@@ -289,8 +320,13 @@ def _fwd_kernel(cfg: CompositeConfig):
             anyhit = jnp.sum(hit, axis=0, keepdims=True)
             dmed = dmed * (1.0 - jnp.minimum(anyhit, 1.0)) + dhit
 
-            lw = jnp.where(contribute, l, 0.0)
-            T = T * jnp.exp(jnp.sum(lw, axis=0, keepdims=True))
+            # T after this chunk = test_t of the LAST contributor (test_t is
+            # non-increasing along the contributor subsequence), or unchanged
+            # if none contributed: a min-reduce, no multiply-reduction needed.
+            T = jnp.minimum(
+                T,
+                jnp.min(jnp.where(contribute, test_t, 2.0), axis=0, keepdims=True),
+            )
             # Carried as f32: an i1 (1, PX) loop carry fails Mosaic layout
             # legalization (roll/unroll of mask vectors).
             done_f = jnp.maximum(
@@ -395,7 +431,13 @@ def _bwd_kernel(cfg: CompositeConfig):
         head_sem,  # DMA ()
     ):
         aligned, head, count, nchunks = _tile_range(tile_start_ref, tile_count_ref)
-        px_x, px_y = _pixel_coords(cfg)
+        basis = _pixel_basis(cfg)
+        tox = (pl.program_id(1) * cfg.tile_w).astype(jnp.float32) + 0.5 * (
+            cfg.tile_w - 1
+        )
+        toy = (pl.program_id(0) * cfg.tile_h).astype(jnp.float32) + 0.5 * (
+            cfg.tile_h - 1
+        )
 
         ghat = gcolor_ref[0]  # (C, PX)
         t_final = final_t_ref[0]  # (1, PX)
@@ -465,7 +507,7 @@ def _bwd_kernel(cfg: CompositeConfig):
 
             dma_in(k).wait()
             bt = chunk_buf[jax.lax.rem(k, 2)].T  # (CHUNK, D)
-            a = _alpha_terms(bt, px_x, px_y, cfg)
+            a = _alpha_terms(bt, basis, tox, toy, cfg)
 
             j_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + k * CHUNK
             gidx0 = (j_ids - head).astype(jnp.float32)  # 0-based true index
@@ -494,14 +536,24 @@ def _bwd_kernel(cfg: CompositeConfig):
             )
             # CUDA parity: alpha = op*G, 0.99 clamp ignored in backward.
             dldp = a["op"] * dalpha * a["g"]  # dL/dpower
-            dop = jnp.sum(a["g"] * dalpha, axis=1, keepdims=True)  # (CHUNK, 1)
-            gx = -(a["ca"] * a["dx"] + a["cb"] * a["dy"])
-            gy = -(a["cc"] * a["dy"] + a["cb"] * a["dx"])
-            dmx = jnp.sum(dldp * gx, axis=1, keepdims=True)
-            dmy = jnp.sum(dldp * gy, axis=1, keepdims=True)
-            dca = jnp.sum(dldp * (-0.5 * a["dx"] * a["dx"]), axis=1, keepdims=True)
-            dcb = jnp.sum(dldp * (-a["dx"] * a["dy"]), axis=1, keepdims=True)
-            dcc = jnp.sum(dldp * (-0.5 * a["dy"] * a["dy"]), axis=1, keepdims=True)
+            # All six per-pair reductions are linear in the polynomial
+            # moments of dldp over the tile-local pixel basis — ONE k=6
+            # matmul replaces five masked multiply+reduce passes (the CUDA
+            # per-thread atomics, backward.cu:519-549). dx = mx - x with both
+            # tile-local, so the expansions below are cancellation-benign.
+            M = _dotg(dldp, basis, ((1,), (1,)), _TRI_PRECISION)  # (CHUNK, 6)
+            M0, Mx, My = M[:, 0:1], M[:, 1:2], M[:, 2:3]
+            Mxx, Myy, Mxy = M[:, 3:4], M[:, 4:5], M[:, 5:6]
+            mx, my = a["mx"], a["my"]
+            ex = mx * M0 - Mx  # = sum dldp*dx
+            ey = my * M0 - My
+            dmx = -(a["ca"] * ex + a["cb"] * ey)
+            dmy = -(a["cc"] * ey + a["cb"] * ex)
+            dca = -0.5 * (mx * mx * M0 - 2.0 * mx * Mx + Mxx)
+            dcb = -(mx * my * M0 - mx * My - my * Mx + Mxy)
+            dcc = -0.5 * (my * my * M0 - 2.0 * my * My + Myy)
+            # dldp = op * (g * dalpha)  =>  sum g*dalpha = M0 / op
+            dop = jnp.where(a["op"] > 0.0, M0 / jnp.maximum(a["op"], 1e-30), 0.0)
             dcolor = _dotg(w, ghat, ((1,), (1,)), _TRI_PRECISION)  # (CHUNK, C)
 
             pad = cfg.row_width - (COL_COLOR + num_ch)

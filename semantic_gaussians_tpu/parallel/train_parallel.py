@@ -125,9 +125,11 @@ def make_band_train_step(
     Gaussians replicated.
     """
     from .render_sharded import render_sharded
+    from ..pipelines.train import _edge_crop
 
     def step(state: TrainState, cam: Camera, bg):
         offset0 = jnp.zeros((state.params.capacity, 2), jnp.float32)
+        crop = _edge_crop(cam.height, cam.width, cfg.cut_edge)
 
         def loss_fn(params, offset):
             out = render_sharded(
@@ -135,10 +137,12 @@ def make_band_train_step(
                 active_sh_degree=active_sh_degree, pair_budget=pair_budget,
                 axis=axis, mean2d_offset=offset,
             )
-            return (
-                photometric_loss(out["render"], cam.image, cfg.lambda_dssim),
-                out,
-            )
+            pred, gt = out["render"], cam.image
+            if crop is not None:
+                ch, cw = crop
+                pred = pred[ch : cam.height - ch, cw : cam.width - cw]
+                gt = gt[ch : cam.height - ch, cw : cam.width - cw]
+            return photometric_loss(pred, gt, cfg.lambda_dssim), out
 
         # The offset is a replicated shard_map input, so its cotangent is
         # psum'd over bands by the transpose — goffset equals the single-chip

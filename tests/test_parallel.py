@@ -145,3 +145,53 @@ def test_empty_scene_renders_background():
         atol=1e-6,
     )
     assert float(out["depth"].min()) == 15.0  # median-depth init everywhere
+
+
+@pytest.mark.slow
+def test_band_train_step_densify_stats_match_single_chip():
+    """Band-sharded training must drive the SAME densify decisions as a
+    single chip: the replicated mean2d_offset's cotangent is psum'd over
+    bands by the shard_map transpose, so accumulated norms / visibility
+    counts / max radii agree with the unsharded step (ref train.py:156-161,
+    gaussian_model.py:608-612)."""
+    from semantic_gaussians_tpu.parallel.train_parallel import (
+        make_band_train_step,
+    )
+    from semantic_gaussians_tpu.pipelines.train import train_step
+
+    params, alive = _scene(n=180, seed=3)
+    rng = np.random.default_rng(7)
+    img = rng.uniform(size=(64, 128, 3)).astype(np.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.9, 128, 64, image=img)
+    mesh = make_mesh(8)
+    cfg = TrainConfig()
+    bg = jnp.zeros(3)
+
+    state_b = init_train_state(params, alive)
+    state_1 = init_train_state(params, alive)
+    band_step = make_band_train_step(mesh, cfg, active_sh_degree=1)
+    for _ in range(2):
+        state_b, _ = band_step(state_b, cam, bg)
+        state_1, _ = train_step(state_1, cam, bg, cfg, active_sh_degree=1)
+
+    # Visibility and max-radii decisions must be exact; accumulated norms
+    # agree to float tolerance (band grads sum in a different order).
+    np.testing.assert_array_equal(
+        np.asarray(state_b.dstate.denom), np.asarray(state_1.dstate.denom)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state_b.dstate.max_radii2d),
+        np.asarray(state_1.dstate.max_radii2d),
+    )
+    acc_b = np.asarray(state_b.dstate.xyz_grad_accum)
+    acc_1 = np.asarray(state_1.dstate.xyz_grad_accum)
+    scale = acc_1.max() + 1e-12
+    np.testing.assert_allclose(acc_b / scale, acc_1 / scale, atol=2e-3)
+
+    # The densify trigger mask (accum/denom > threshold) must agree.
+    from semantic_gaussians_tpu.core.densify import DensifyConfig
+
+    dcfg = DensifyConfig()
+    trig_b = (acc_b / np.maximum(np.asarray(state_b.dstate.denom), 1)) > dcfg.grad_threshold
+    trig_1 = (acc_1 / np.maximum(np.asarray(state_1.dstate.denom), 1)) > dcfg.grad_threshold
+    np.testing.assert_array_equal(trig_b, trig_1)

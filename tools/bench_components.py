@@ -70,7 +70,7 @@ def main():
     alive = jnp.ones((n,), bool)
     cam = make_camera(np.eye(3), np.zeros(3), 1.4, 1.1, w, h)
     target = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
-    budget = 655_360
+    budget = 393_216
     inner = 10
 
     def chain(f):
