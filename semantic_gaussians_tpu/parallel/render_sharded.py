@@ -29,6 +29,68 @@ from ..ops.rasterize import DEFAULT_TILE, _pack_pair_cols, _untile
 from ..utils.camera import Camera
 
 
+def band_render_core(
+    camera: Camera,
+    params: GaussianParams,
+    alive_in,
+    override,
+    bg_in,
+    m2d_off,
+    band,
+    band_rows: int,
+    tile_shape: Tuple[int, int],
+    grid_w: int,
+    budget: int,
+    cfg: CompositeConfig,
+    sh_degree: int,
+):
+    """Render tile-row band `band` of `camera` (shared by the band-sharded
+    renderer and the hybrid view x band train step).
+
+    Shifting means2d down by the band's pixel offset turns the band into an
+    independent smaller render (the Gaussian-pixel falloff depends only on
+    pixel deltas), so the single-chip projection/binning/composite stack is
+    reused unchanged with a (band_rows, grid_w) grid. Returns tile-major
+    band buffers + overflow[1] + radii[1, N].
+    """
+    import dataclasses as _dc
+
+    th, _tw = tile_shape
+    row0 = band * band_rows
+    proj = project_gaussians(
+        params.means,
+        params.scales,
+        params.quats,
+        params.opacity[:, 0],
+        camera.world_view,
+        camera.full_proj,
+        camera.camera_center,
+        camera.width,
+        camera.height,
+        camera.tan_half_fov_x,
+        camera.tan_half_fov_y,
+        sh_coeffs=None if override is not None else params.sh_coeffs,
+        sh_degree=sh_degree,
+        override_color=override,
+        alive=None if alive_in is None else alive_in,
+        mean2d_offset=m2d_off,
+    )
+    means2d_local = proj.means2d - jnp.array([[0.0, row0 * th]])
+    proj = _dc.replace(proj, means2d=means2d_local)
+    binning = bin_gaussians(
+        proj.means2d, proj.depths, proj.radii_xy, tile_shape,
+        (band_rows, grid_w), budget,
+    )
+    pair_data = pad_pair_cols(_pack_pair_cols(proj, binning), cfg)
+    color, depth, final_t, n_contrib = composite_pairs(
+        cfg, pair_data, bg_in, binning.tile_start, binning.tile_count
+    )
+    return (
+        color, depth, final_t, n_contrib,
+        binning.overflow[None], proj.radii[None],
+    )
+
+
 def render_sharded(
     camera: Camera,
     params: GaussianParams,
@@ -73,43 +135,9 @@ def render_sharded(
 
     def band_render(params, alive_in, override, bg_in, m2d_off):
         band = jax.lax.axis_index(axis)
-        row0 = band * band_rows
-        proj = project_gaussians(
-            params.means,
-            params.scales,
-            params.quats,
-            params.opacity[:, 0],
-            camera.world_view,
-            camera.full_proj,
-            camera.camera_center,
-            camera.width,
-            camera.height,
-            camera.tan_half_fov_x,
-            camera.tan_half_fov_y,
-            sh_coeffs=None if override is not None else params.sh_coeffs,
-            sh_degree=sh_degree,
-            override_color=override,
-            alive=None if alive_in is None else alive_in,
-            mean2d_offset=m2d_off,
-        )
-        # Shift into band-local pixel coordinates; the band is then an
-        # independent (band_rows*th) x W render.
-        import dataclasses as _dc
-
-        means2d_local = proj.means2d - jnp.array([[0.0, row0 * th]])
-        proj = _dc.replace(proj, means2d=means2d_local)
-        binning = bin_gaussians(
-            proj.means2d, proj.depths, proj.radii_xy, tile_shape,
-            (band_rows, grid_w), budget,
-        )
-        pair_data = pad_pair_cols(_pack_pair_cols(proj, binning), cfg)
-        color, depth, final_t, n_contrib = composite_pairs(
-            cfg, pair_data, bg_in, binning.tile_start, binning.tile_count
-        )
-        # tile-major band outputs, leading dim = band's tiles
-        return (
-            color, depth, final_t, n_contrib,
-            binning.overflow[None], proj.radii[None],
+        return band_render_core(
+            camera, params, alive_in, override, bg_in, m2d_off,
+            band, band_rows, tile_shape, grid_w, budget, cfg, sh_degree,
         )
 
     shard = jax.shard_map(

@@ -110,6 +110,130 @@ def make_parallel_train_step(
     return jax.jit(sharded)
 
 
+def make_hybrid_train_step(
+    mesh: Mesh,
+    cfg: TrainConfig,
+    active_sh_degree: int,
+    img_height: int,
+    img_width: int,
+    pair_budget: Optional[int] = None,
+    axis_view: str = "view",
+    axis_band: str = "band",
+):
+    """Hybrid multi-host step over a 2D (view=host, band=chip) mesh.
+
+    Each host row trains a DIFFERENT view whose tile bands are sharded over
+    that host's chips — the heavy per-pixel transposes psum over the band
+    axis (ICI); only parameter grads cross hosts (DCN), once per step.
+    Densify semantics match view-DP (per-view grad norms summed, ADVICE r1):
+    the mean2D offset is per-view (sharded over `axis_view`), so its
+    cotangent arrives per-view, band-psum'd by the shard_map transpose.
+    """
+    from .render_sharded import band_render_core
+    from ..ops.composite_pallas import CompositeConfig
+    from ..ops.rasterize import DEFAULT_TILE, _untile
+    from ..ops.binning import default_pair_budget
+    from ..pipelines.train import _edge_crop
+
+    th, tw = DEFAULT_TILE
+    nview = mesh.shape[axis_view]
+    nband = mesh.shape[axis_band]
+    grid_w = -(-img_width // tw)
+    grid_h = -(-img_height // th)
+    band_rows = -(-grid_h // nband)
+    crop = _edge_crop(img_height, img_width, cfg.cut_edge)
+
+    def render_body(params, alive, cam_batch, bg, offsets):
+        cam = jax.tree.map(lambda x: x[0], cam_batch)  # this host's view
+        band = jax.lax.axis_index(axis_band)
+        budget = pair_budget or max(
+            8192, default_pair_budget(params.capacity) // nband
+        )
+        ccfg = CompositeConfig(
+            tile_h=th, tile_w=tw, grid_h=band_rows, grid_w=grid_w,
+            num_channels=3, interpret=jax.default_backend() == "cpu",
+        )
+        color, depth, final_t, n_contrib, overflow, radii = band_render_core(
+            cam, params, alive, None, bg, offsets[0],
+            band, band_rows, (th, tw), grid_w, budget, ccfg,
+            active_sh_degree,
+        )
+        radii = jax.lax.pmax(radii, axis_band)  # identical across bands
+        return color[None], overflow[None], radii
+
+    sharded_render = jax.shard_map(
+        render_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_view), P(), P(axis_view)),
+        out_specs=(
+            P(axis_view, axis_band),
+            P(axis_view, axis_band),
+            P(axis_view),
+        ),
+        check_vma=False,
+    )
+
+    full_cfg = CompositeConfig(
+        tile_h=th, tile_w=tw, grid_h=nband * band_rows, grid_w=grid_w,
+        num_channels=3, interpret=jax.default_backend() == "cpu",
+    )
+
+    def step(state: TrainState, cam_batch: Camera, bg):
+        offset0 = jnp.zeros((nview, state.params.capacity, 2), jnp.float32)
+
+        def loss_fn(params, offsets):
+            color, overflow, radii = sharded_render(
+                params, state.alive, cam_batch, bg, offsets
+            )
+
+            def one_view(tiles, gt):
+                img = _untile(tiles, full_cfg, img_height, img_width)
+                pred, g = img, gt
+                if crop is not None:
+                    ch, cw = crop
+                    pred = pred[ch : img_height - ch, cw : img_width - cw]
+                    g = g[ch : img_height - ch, cw : img_width - cw]
+                return photometric_loss(pred, g, cfg.lambda_dssim), psnr(
+                    img, gt
+                )
+
+            losses, psnrs = jax.vmap(one_view)(color, cam_batch.image)
+            return jnp.mean(losses), (psnrs, overflow, radii)
+
+        (loss, (psnrs, overflow, radii)), (gparams, goffsets) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, offset0
+            )
+        )
+        # Per-view densify stats (ref gaussian_model.py:608-612 semantics):
+        # norm each view's mean2D grad, then sum norms/counts over views.
+        scale = jnp.array([[img_width * 0.5, img_height * 0.5]])
+        # loss averaging divided each view's image grad by nview; undo for
+        # per-view stats parity with single-view training.
+        g = goffsets * scale * nview
+        visible = radii > 0
+        norm_sum = jnp.sum(
+            jnp.where(visible, jnp.linalg.norm(g, axis=-1), 0.0), axis=0
+        )
+        vis_sum = jnp.sum(visible.astype(jnp.float32), axis=0)
+        radii_any = jnp.max(radii, axis=0)
+        dstate = add_stats_prereduced(state.dstate, norm_sum, vis_sum, radii_any)
+        lrs = lr_tree(cfg.hyper, cfg.spatial_lr_scale, state.step)
+        new_params, new_adam = adam_update(
+            gparams, state.adam, state.params, lrs, cfg.hyper
+        )
+        new_state = dataclasses.replace(
+            state, params=new_params, adam=new_adam, dstate=dstate,
+            step=state.step + 1,
+        )
+        metrics = dict(
+            loss=loss, psnr=jnp.mean(psnrs), overflow=jnp.sum(overflow)
+        )
+        return new_state, metrics
+
+    return jax.jit(step)
+
+
 def make_band_train_step(
     mesh: Mesh,
     cfg: TrainConfig,

@@ -148,6 +148,95 @@ def test_empty_scene_renders_background():
 
 
 @pytest.mark.slow
+def test_hybrid_step_matches_view_dp():
+    """Hybrid (view x band) step == view-DP step on the same views: same
+    parameter update and same densify stats (band sharding is numerically
+    transparent; view semantics match make_parallel_train_step)."""
+    from semantic_gaussians_tpu.parallel.train_parallel import (
+        make_hybrid_train_step,
+    )
+    from semantic_gaussians_tpu.parallel.multihost import make_view_band_mesh
+
+    params, alive = _scene(n=180, seed=5)
+    rng = np.random.default_rng(11)
+    H, W = 64, 128
+    cams = [
+        make_camera(
+            np.eye(3), np.array([0.05 * i, 0, 0]), 1.2, 0.9, W, H,
+            image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        )
+        for i in range(2)
+    ]
+    cfg = TrainConfig()
+    bg = jnp.zeros(3)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh_hybrid = jax.sharding.Mesh(devs, ("view", "band"))
+    mesh_dp = make_mesh(2)
+
+    state_h = init_train_state(params, alive)
+    state_d = init_train_state(params, alive)
+    hybrid = make_hybrid_train_step(
+        mesh_hybrid, cfg, active_sh_degree=1, img_height=H, img_width=W
+    )
+    dp = make_parallel_train_step(mesh_dp, cfg, active_sh_degree=1)
+    batch = stack_cameras(cams)
+    for _ in range(2):
+        state_h, mh = hybrid(state_h, batch, bg)
+        state_d, md = dp(state_d, batch, bg)
+
+    assert abs(float(mh["loss"]) - float(md["loss"])) < 2e-4
+    for a, b in zip(
+        jax.tree.leaves(state_h.params), jax.tree.leaves(state_d.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+    np.testing.assert_array_equal(
+        np.asarray(state_h.dstate.denom), np.asarray(state_d.dstate.denom)
+    )
+    acc_h = np.asarray(state_h.dstate.xyz_grad_accum)
+    acc_d = np.asarray(state_d.dstate.xyz_grad_accum)
+    scale = acc_d.max() + 1e-12
+    np.testing.assert_allclose(acc_h / scale, acc_d / scale, atol=2e-3)
+
+
+def test_multihost_helpers_single_process():
+    from semantic_gaussians_tpu.parallel import multihost
+
+    assert multihost.is_primary()
+    mesh = multihost.make_view_band_mesh()
+    assert mesh.shape["view"] == 1 and mesh.shape["band"] == len(jax.devices())
+    mesh1 = multihost.make_data_mesh()
+    assert mesh1.shape["data"] == len(jax.devices())
+    # round-robin view pick
+    picks = multihost.shard_views_to_processes(list(range(10)), 3)
+    assert picks == [0, 1, 2]
+    # global batch from local (single-process: device_put path)
+    tree = {"x": np.ones((1, 4), np.float32)}
+    out = multihost.global_batch_from_local(tree, mesh, "view")
+    assert out["x"].shape == (1, 4)
+
+
+@pytest.mark.slow
+def test_multihost_launch_rehearsal():
+    """2-process x 4-CPU-device rehearsal of the real jax.distributed launch
+    path (coordinator + global mesh + hybrid step)."""
+    import subprocess, sys, pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [
+            sys.executable, str(repo / "tools" / "launch_multihost.py"),
+            "--procs", "2", "--local-devices", "4", "--steps", "1",
+        ],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "multihost rehearsal OK" in r.stdout
+
+
+@pytest.mark.slow
 def test_band_train_step_densify_stats_match_single_chip():
     """Band-sharded training must drive the SAME densify decisions as a
     single chip: the replicated mean2d_offset's cotangent is psum'd over
