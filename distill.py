@@ -69,10 +69,62 @@ def main():
         aug=bool(d.get("aug", True)),
     )
     out_dir = pathlib.Path("output_distill") / str(d.get("exp_name", "distill"))
+
+    # Every-N-epoch semantic render of a validation scene (reference
+    # distill.py:151-232): distill.eval_scene names the scene dir; its
+    # gaussians come from model_dir/<scene> (or model_dir for single-scene).
+    eval_hook = None
+    if d.get("eval_scene"):
+        from semantic_gaussians_tpu.data.scannet_constants import (
+            COCOMAP_CLASS_LABELS,
+            SCANNET20_CLASS_LABELS,
+        )
+        from semantic_gaussians_tpu.io.scene import load_scene, realize_camera
+        from semantic_gaussians_tpu.models.predictors import (
+            RandomFeatureProvider,
+            TorchCLIPTextEncoder,
+        )
+        from semantic_gaussians_tpu.pipelines.distill import (
+            make_eval_render_hook,
+        )
+        from semantic_gaussians_tpu.pipelines.eval_segmentation import (
+            text_feature_matrix,
+        )
+
+        labels = (
+            SCANNET20_CLASS_LABELS
+            if cfg.scene.get("dataset_name", "cocomap") == "scannet20"
+            else COCOMAP_CLASS_LABELS
+        )
+        tmp = cfg.get("eval", {}).get("text_model_path")
+        if tmp:
+            enc = TorchCLIPTextEncoder(tmp, dcfg.feature_dim)
+        else:
+            print("WARNING: no local CLIP checkpoint; random text features")
+            enc = RandomFeatureProvider(dcfg.feature_dim)
+        text = text_feature_matrix(enc, labels)
+        escene = pathlib.Path(str(d.eval_scene))
+        sd = model_dir / escene.name
+        if not (sd / "point_cloud").exists():
+            sd = model_dir
+        it = load_it if load_it != -1 else latest_iteration(sd / "point_cloud")
+        eply = sd / "point_cloud" / f"iteration_{it}" / "point_cloud.ply"
+        esc = load_scene(str(escene), eval_split=False)
+        cams = [realize_camera(c) for c in esc.train_cameras[:: 40][:3]]
+        eval_hook = make_eval_render_hook(
+            eply, cams, text, out_dir, dcfg,
+            feature_type=d.get("feature_type", "all"),
+            voxel_size=float(d.get("voxel_size", 0.02)),
+            voxel_budget=int(d.get("voxel_budget", 200_000)),
+            backend=cfg.pipeline.get("backend", "pallas"),
+        )
+
     train_distill(
         ds, dcfg, log_every=1, ckpt_dir=str(out_dir),
         save_interval=int(d.get("save_interval", 10)),
         seed=int(cfg.pipeline.get("seed", 1)),
+        eval_hook=eval_hook,
+        eval_interval=int(d.get("eval_interval", 10)),
     )
 
 

@@ -164,6 +164,84 @@ def distill_scene_features(model, variables, item: DistillItem):
     return out
 
 
+def make_eval_render_hook(
+    ply_path,
+    cameras,
+    text_features,  # [num_classes, feature_dim] (unnormalized ok)
+    out_dir,
+    cfg: DistillConfig,
+    feature_type: str = "all",
+    voxel_size: float = 0.02,
+    voxel_budget: int = 200_000,
+    num_views: int = 3,
+    backend: str = "pallas",
+):
+    """Every-N-epoch semantic render of a validation scene.
+
+    Reference parity: distill.py:151-232 — run the 3D net on the val scene's
+    voxelized Gaussians, argmax CLIP-text similarity per Gaussian, render the
+    palette color of the predicted class for a few views, and write
+    out_dir/semantic/<epoch>/<i>.png. Voxelization/topology are precomputed
+    once; each call is one net forward + K renders."""
+    import numpy as np
+    from PIL import Image
+
+    from ..core.gaussians import packed_features
+    from ..data.fusion_utils import Voxelizer
+    from ..data.scannet_constants import COLORMAP
+    from ..io.ply import load_gaussian_ply
+    from ..models.unet3d import build_topology
+    from ..renderer import render
+    from .eval_segmentation import voxel_feats_to_gaussians
+
+    params, alive = load_gaussian_ply(ply_path)
+    n_alive = int(np.asarray(alive).sum())
+    locs = np.asarray(params.means)[:n_alive]
+    pf = np.asarray(packed_features(params, alive, feature_type))[:n_alive]
+    vox = Voxelizer(voxel_size=voxel_size)
+    vc, vf, _, inverse, _ = vox.voxelize(locs, pf)
+    v = min(len(vc), voxel_budget)
+    coords = np.zeros((voxel_budget, 3), np.int32)
+    coords[:v] = vc[:v]
+    feats_in = np.zeros((voxel_budget, pf.shape[-1]), np.float32)
+    feats_in[:v] = vf[:v]
+    mask = np.arange(voxel_budget) < v
+    topo = build_topology(jnp.asarray(coords), jnp.asarray(mask))
+    feats_in = jnp.asarray(feats_in)
+
+    text = np.asarray(text_features, np.float32)
+    text = text / np.maximum(np.linalg.norm(text, axis=-1, keepdims=True), 1e-8)
+    text_j = jnp.asarray(text)
+    # class colors: palette entry i+1 (0 = unlabeled/black stays for "other")
+    pal = jnp.asarray(COLORMAP[1 : len(text) + 1] / 255.0, jnp.float32)
+    views = cameras[:num_views]
+    out_dir = Path(out_dir)
+
+    def hook(epoch, model, variables):
+        vout = model.apply(variables, feats_in, topo, train=False)
+        gfeat = voxel_feats_to_gaussians(
+            np.asarray(vout), inverse, n_alive, params.capacity
+        )
+        g = jnp.asarray(gfeat)
+        g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-8)
+        cls = jnp.argmax(g @ text_j.T, axis=-1)  # [capacity]
+        colors = pal[cls]
+        dirp = out_dir / "semantic" / str(epoch)
+        dirp.mkdir(parents=True, exist_ok=True)
+        for i, cam in enumerate(views):
+            out = render(
+                cam, params, alive=alive, override_color=colors,
+                backend=backend,
+            )
+            img = np.clip(np.asarray(out["render"]) * 255, 0, 255).astype(
+                np.uint8
+            )
+            Image.fromarray(img).save(dirp / f"{i}.png")
+        return str(dirp)
+
+    return hook
+
+
 def train_distill(
     dataset: FeatureDataset,
     cfg: DistillConfig = DistillConfig(),
@@ -172,6 +250,8 @@ def train_distill(
     seed: int = 0,
     ckpt_dir: Optional[str] = None,
     save_interval: int = 10,
+    eval_hook=None,
+    eval_interval: int = 10,
 ):
     """Host driver: epochs over the dataset with a random global coord shift
     per item (distill.py:104)."""
@@ -206,6 +286,9 @@ def train_distill(
             save_distill_checkpoint(
                 Path(ckpt_dir) / f"model_{epoch + 1}.npz", variables
             )
+        if eval_hook and (epoch + 1) % eval_interval == 0:
+            # ref distill.py:141-142: every-10-epoch semantic render eval
+            eval_hook(epoch + 1, model, variables)
     return model, variables, losses
 
 

@@ -4,10 +4,14 @@ A stdlib HTTP server exposing the viewer capabilities without GUI deps:
 
   GET  /                      minimal HTML viewer page
   GET  /render?mode=RGB|Depth|Semantic|Relevancy
-              &x=&y=&z=&yaw=&pitch=      camera pose (orbit)
-              &w=&h=&fov=                resolution / fov (radians)
+              &x=&y=&z=&yaw=&pitch=      camera pose (orbit params), OR
+              &quat=w,x,y,z&pos=x,y,z    client camera pose (viser wxyz
+                                         convention, view_viser.py:256-268), OR
+              &pose=16 floats            full row-major camera-to-world
+              &w=&h=&fov=                resolution / vertical fov (radians)
               &prompts=a,b,c             Semantic/Relevancy prompts
-              &t=                        dynamic-scene timestep
+              &t=                        dynamic-scene timestep, OR
+              &play=1&fps=10             wall-clock replay (view_viser:173-180)
        -> PNG
   POST /edit   body: mode=Remove|Color|Size|Move&edit=a,b&preserve=c,d
   POST /reset  undo all edits
@@ -56,7 +60,10 @@ class ViewerState:
         from semantic_gaussians_tpu.pipelines.fusion import load_fused_features
         from semantic_gaussians_tpu.utils.checkpoint import latest_iteration
 
+        import time
+
         self.cfg = cfg
+        self._start_time = time.time()
         self.dynamic = None
         model_dir = pathlib.Path(cfg.model.model_dir)
         if cfg.model.get("dynamic"):
@@ -84,6 +91,7 @@ class ViewerState:
 
     def render(self, q):
         import math
+        import time
 
         from semantic_gaussians_tpu.pipelines.viewer import render_view
         from semantic_gaussians_tpu.utils.camera import make_camera_from_c2w
@@ -92,23 +100,76 @@ class ViewerState:
         w = int(q.get("w", [640])[0])
         h = int(q.get("h", [480])[0])
         fov = float(q.get("fov", [1.2])[0])
-        x = float(q.get("x", [0])[0])
-        y = float(q.get("y", [0])[0])
-        z = float(q.get("z", [-3])[0])
-        yaw = float(q.get("yaw", [0])[0])
-        pitch = float(q.get("pitch", [0])[0])
-        t = int(q.get("t", [0])[0])
         params = self.params
         if self.dynamic is not None:
-            params, _ = self.dynamic.params_at(t % self.dynamic.num_timesteps)
-        cy, sy = math.cos(yaw), math.sin(yaw)
-        cp, sp = math.cos(pitch), math.sin(pitch)
-        ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
-        rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
-        c2w = np.eye(4)
-        c2w[:3, :3] = ry @ rx
-        c2w[:3, 3] = [x, y, z]
-        cam = make_camera_from_c2w(c2w, fov, fov * h / w, w, h)
+            # wall-clock replay (view_viser.py:173-180): with play=1 the
+            # timestep advances by elapsed time * fps; explicit t overrides.
+            if q.get("play", ["0"])[0] not in ("0", ""):
+                fps = float(q.get("fps", [10.0])[0])
+                t = int(
+                    (time.time() - self._start_time)
+                    * fps
+                    % self.dynamic.num_timesteps
+                )
+            else:
+                t = int(q.get("t", [0])[0]) % self.dynamic.num_timesteps
+            params, _ = self.dynamic.params_at(t)
+
+        if "quat" in q or "pose" in q:
+            # Client-pose protocol (view_viser.py:256-268): camera-to-world
+            # from a wxyz quaternion + position (viser client convention) or
+            # a full 16-float row-major c2w matrix; fov is vertical, fov_x
+            # follows the aspect (get_camera_viser, camera_utils.py:89-103).
+            if "pose" in q:
+                c2w = np.asarray(
+                    [float(v) for v in q["pose"][0].split(",")], np.float64
+                ).reshape(4, 4)
+            else:
+                qw, qx, qy, qz = (float(v) for v in q["quat"][0].split(","))
+                px, py, pz = (
+                    float(v) for v in q.get("pos", ["0,0,0"])[0].split(",")
+                )
+                n = math.sqrt(qw * qw + qx * qx + qy * qy + qz * qz) or 1.0
+                qw, qx, qy, qz = qw / n, qx / n, qy / n, qz / n
+                R = np.array(
+                    [
+                        [
+                            1 - 2 * (qy * qy + qz * qz),
+                            2 * (qx * qy - qw * qz),
+                            2 * (qx * qz + qw * qy),
+                        ],
+                        [
+                            2 * (qx * qy + qw * qz),
+                            1 - 2 * (qx * qx + qz * qz),
+                            2 * (qy * qz - qw * qx),
+                        ],
+                        [
+                            2 * (qx * qz - qw * qy),
+                            2 * (qy * qz + qw * qx),
+                            1 - 2 * (qx * qx + qy * qy),
+                        ],
+                    ]
+                )
+                c2w = np.eye(4)
+                c2w[:3, :3] = R
+                c2w[:3, 3] = [px, py, pz]
+            fov_y = fov
+            fov_x = 2.0 * math.atan(math.tan(fov_y / 2.0) * w / h)
+            cam = make_camera_from_c2w(c2w, fov_x, fov_y, w, h)
+        else:
+            x = float(q.get("x", [0])[0])
+            y = float(q.get("y", [0])[0])
+            z = float(q.get("z", [-3])[0])
+            yaw = float(q.get("yaw", [0])[0])
+            pitch = float(q.get("pitch", [0])[0])
+            cy, sy = math.cos(yaw), math.sin(yaw)
+            cp, sp = math.cos(pitch), math.sin(pitch)
+            ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+            rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+            c2w = np.eye(4)
+            c2w[:3, :3] = ry @ rx
+            c2w[:3, 3] = [x, y, z]
+            cam = make_camera_from_c2w(c2w, fov, fov * h / w, w, h)
         prompts = [
             p for p in q.get("prompts", [""])[0].split(",") if p.strip()
         ]
