@@ -31,7 +31,14 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TileBinning:
-    """Sorted (tile, depth) pair list + per-tile ranges."""
+    """Sorted (tile, depth) pair list + per-tile ranges.
+
+    The gen_* / *_dense fields support the pack gather's hand-written VJP
+    (ops.rasterize.pack_gather): "generation order" is the pre-tile-sort
+    order, where each Gaussian's pairs are CONTIGUOUS (grouped by depth
+    rank), so the per-Gaussian gradient reduction is a contiguous segment
+    sum (Pallas one-hot-matmul kernel) instead of XLA's serialized
+    scatter-add (measured 8.6 ms at P=655k)."""
 
     pair_gaussian: jnp.ndarray  # [PAIR_BUDGET] int32 gaussian index (N = invalid)
     pair_tile: jnp.ndarray  # [PAIR_BUDGET] int32 tile id (num_tiles = invalid)
@@ -39,6 +46,14 @@ class TileBinning:
     tile_count: jnp.ndarray  # [num_tiles] int32 rows per tile
     num_pairs: jnp.ndarray  # [] int32 valid pairs (pre-clip)
     overflow: jnp.ndarray  # [] int32 pairs dropped due to budget
+    tile_pos_of_gen: jnp.ndarray  # [PAIR_BUDGET] int32: tile-order position
+    # of generation-order pair i (inverse of the tile sort's permutation)
+    gen_owner: jnp.ndarray  # [PAIR_BUDGET] int32: DENSE owner rank of
+    # generation-order pair i — consecutive over pair-emitting gaussians in
+    # depth order; overflow/invalid slots own the trash rank num_dense.
+    # Non-decreasing, increments by <= 1 between neighbours.
+    orig_to_dense: jnp.ndarray  # [N] int32: original gaussian id -> dense
+    # rank (pair-emitting gaussians) or N (sentinel row, zero gradient).
 
 
 def tile_rects(
@@ -130,14 +145,44 @@ def bin_gaussians(
     rows = table[g_safe]
     local = pair_idx - rows[:, 0]
     w = rows[:, 2]
-    tx = rows[:, 1] + local % w
-    ty = rows[:, 3] + local // w
+    # local // w and local % w via f32: s32 divide has no VPU lowering (the
+    # int version measured 2.4 ms serialized at P=655k). Exact because
+    # 0 <= local < rect area (<= ~2k) and 1 <= w <= grid_w (<= ~80): both are
+    # far inside f32's exact-integer range, and correctly-rounded f32 divide
+    # cannot cross an integer boundary when the spacing 1/w >> ulp(local/w).
+    # Clamp local first: overflow slots carry garbage (masked out below).
+    local_f = jnp.clip(local, 0, 1 << 22).astype(jnp.float32)
+    q = jnp.floor(local_f / w.astype(jnp.float32)).astype(jnp.int32)
+    tx = rows[:, 1] + (local - q * w)
+    ty = rows[:, 3] + q
     tile = ty * ntx + tx
     tile = jnp.where(valid, tile, num_tiles)
     g_key = jnp.where(valid, rows[:, 4], n)
 
-    sorted_tile, sorted_g = jax.lax.sort(
-        (tile, g_key), num_keys=1, is_stable=True
+    # Dense owner ranks over pair-emitting gaussians: zero-count gaussians
+    # sort to the END of the depth order (depth_key = inf), so the emitting
+    # gaussians occupy depth ranks [0, num_dense) — their depth rank IS the
+    # dense rank, and generation-order owners are consecutive: the
+    # contiguity invariant the segment-sum kernel's one-hot window relies on
+    # (owner span of any K consecutive pairs < K + 1).
+    nonzero = counts_d > 0
+    num_dense = jnp.sum(nonzero.astype(jnp.int32))
+    gen_owner = jnp.where(valid, g_safe, num_dense)
+    # original id -> dense rank (or N for zero-pair gaussians: sentinel row)
+    orig_to_dense = (
+        jnp.full((n,), n, jnp.int32)
+        .at[idx_d]
+        .set(jnp.where(nonzero, jnp.arange(n, dtype=jnp.int32), n))
+    )
+
+    sorted_tile, sorted_g, sorted_gen = jax.lax.sort(
+        (tile, g_key, pair_idx), num_keys=1, is_stable=True
+    )
+    # Inverse permutation (gen pair -> tile position) via a second sort —
+    # a P-scale unique-index scatter would serialize like the scatter-add
+    # this whole construction replaces.
+    _, tile_pos_of_gen = jax.lax.sort(
+        (sorted_gen, pair_idx), num_keys=1, is_stable=False
     )
 
     # Per-tile ranges: few queries -> the scan-based searchsorted is cheap;
@@ -156,6 +201,9 @@ def bin_gaussians(
         tile_count=tile_end - tile_start,
         num_pairs=jnp.minimum(total, pair_budget).astype(jnp.int32),
         overflow=jnp.maximum(total - pair_budget, 0).astype(jnp.int32),
+        tile_pos_of_gen=tile_pos_of_gen,
+        gen_owner=gen_owner,
+        orig_to_dense=orig_to_dense,
     )
 
 

@@ -122,30 +122,12 @@ def _dotg(a, b, dims, precision=None):
 _TRI_PRECISION = jax.lax.Precision.HIGHEST
 
 
-def _cumsum_rows(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix sum along axis 0 (the CHUNK/sublane axis), exact f32.
-
-    Mosaic has no cumsum lowering; log-step masked rolls on the VPU are both
-    exact (plain f32 adds, matching the sequential oracle) and cheaper than
-    the (CHUNK, CHUNK) triangular matmul they replace.
-    """
-    rows = x.shape[0]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    shift = 1
-    while shift < rows:
-        rolled = pltpu.roll(x, shift, axis=0)
-        x = x + jnp.where(row_ids >= shift, rolled, 0.0)
-        shift *= 2
-    return x
-
-
 def _cumprod_rows_excl(x: jnp.ndarray) -> jnp.ndarray:
     """EXCLUSIVE prefix product along axis 0 via masked log-step rolls.
 
-    Forward transmittance only ever shrinks (no divisions), so the
-    multiplicative form is safe where the backward's suffix *quotients*
-    are not (products of up to 128 factors >= 0.01 underflow f32; the
-    backward stays in log space)."""
+    Mosaic has no cumsum/cumprod lowering; log-step masked rolls on the VPU
+    are exact f32 (matching the sequential oracle's accuracy class) and
+    cheaper than the (CHUNK, CHUNK) triangular matmul they replace."""
     rows = x.shape[0]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     shift = 1
@@ -157,17 +139,50 @@ def _cumprod_rows_excl(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(row_ids >= 1, pltpu.roll(x, 1, axis=0), 1.0)
 
 
+def _sufprod_rows_incl(x: jnp.ndarray) -> jnp.ndarray:
+    """INCLUSIVE suffix product along axis 0 (reverse masked log-step
+    rolls): out[j] = prod_{i >= j} x[i]. Exact f32 multiplies — the
+    backward's log/exp round trip (log1p + chunk-long cumsum + exp) cost
+    ~1e-3 relative on reconstructed transmittance on TPU hardware, which
+    was the entire residual means-grad parity drift. Division by these
+    suffix products is safe: contribution masking terminates at
+    T_EPS * MAX_ALPHA margin, so every divisor >= ~1e-6 (no underflow)."""
+    rows = x.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < rows:
+        rolled = pltpu.roll(x, rows - shift, axis=0)  # circular -shift
+        x = x * jnp.where(row_ids < rows - shift, rolled, 1.0)
+        shift *= 2
+    return x
+
+
+def _sufsum_rows_excl(x: jnp.ndarray) -> jnp.ndarray:
+    """STRICT (exclusive) suffix sum along axis 0: out[j] = sum_{i > j} x[i].
+    Direct reverse rolls instead of `total - prefix_incl` — the subtraction
+    form loses ~ulp(total) absolute, which matters when the true suffix is
+    tiny (same accuracy class the CUDA accum_rec recurrence gets by
+    accumulating back-to-front, backward.cu:496-516)."""
+    rows = x.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < rows:
+        rolled = pltpu.roll(x, rows - shift, axis=0)
+        x = x + jnp.where(row_ids < rows - shift, rolled, 0.0)
+        shift *= 2
+    return jnp.where(
+        row_ids < rows - 1, pltpu.roll(x, rows - 1, axis=0), 0.0
+    )
+
+
 def _pixel_basis(cfg):
-    """Tile-CENTERED pixel polynomial basis rows [1, x, y, x^2, y^2, xy],
-    shape (6, PX), with x/y measured from the tile's pixel centroid
-    (so |x| <= tile_w/2). Centering halves coordinate magnitudes, which
-    quarters the worst-case f32 cancellation in the backward's expanded
-    moment reconstructions (dca = mx^2 M0 - 2 mx Mx + Mxx, ...)."""
+    """Tile-CENTERED pixel coordinate rows [1, x, y], shape (3, PX), with
+    x/y measured from the tile's pixel centroid (so |x| <= tile_w/2)."""
     p_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.px), 1)
     ly = (p_ids // cfg.tile_w).astype(jnp.float32) - 0.5 * (cfg.tile_h - 1)
     lx = (p_ids % cfg.tile_w).astype(jnp.float32) - 0.5 * (cfg.tile_w - 1)
     one = jnp.ones((1, cfg.px), jnp.float32)
-    return jnp.concatenate([one, lx, ly, lx * lx, ly * ly, lx * ly], axis=0)
+    return jnp.concatenate([one, lx, ly], axis=0)
 
 
 def _alpha_terms(bt, basis, tox, toy, cfg):
@@ -194,7 +209,7 @@ def _alpha_terms(bt, basis, tox, toy, cfg):
     alpha = jnp.minimum(MAX_ALPHA, op * g)
     candidate = (power <= 0.0) & (alpha >= ALPHA_CUTOFF)
     return dict(
-        mx=mx, my=my, g=g, alpha=alpha, candidate=candidate,
+        mx=mx, my=my, dx=dx, dy=dy, g=g, alpha=alpha, candidate=candidate,
         ca=ca, cb=cb, cc=cc, op=op, depth=depth, colors=colors,
     )
 
@@ -515,19 +530,21 @@ def _bwd_kernel(cfg: CompositeConfig):
                 a["candidate"] & (gidx0 >= 0.0) & (gidx0 < n_contrib)
             )  # (CHUNK, PX)
             alpha_c = jnp.where(contribute, a["alpha"], 0.0)
-            l = jnp.log1p(-alpha_c)
-            # T before j = B / prod_{i >= j} (1 - alpha_i)
-            lcum = _cumsum_rows(l)  # inclusive prefix
-            ltot = jnp.sum(l, axis=0, keepdims=True)
-            t_j = b * jnp.exp(-(ltot - lcum + l))  # suffix-inclusive
+            om = 1.0 - alpha_c
+            # T before j = b / prod_{i >= j} (1 - alpha_i): the CUDA
+            # back-to-front reconstruction (backward.cu:445-455) with the
+            # per-splat divisions batched into one exact suffix cumprod.
+            # (A log/exp round trip here lost ~1e-3 on t_j — see
+            # _sufprod_rows_incl; divisors are termination-bounded.)
+            sp = _sufprod_rows_incl(om)
+            t_j = b / sp
             w = alpha_c * t_j
 
             q = _dotg(
                 a["colors"], ghat, ((1,), (0,)), _TRI_PRECISION
             )  # (CHUNK, PX)
             wq = w * q
-            wqcum = _cumsum_rows(wq)
-            u = (jnp.sum(wq, axis=0, keepdims=True) - wqcum) + s  # strict suffix
+            u = _sufsum_rows_excl(wq) + s  # strict suffix
             inv1ma = 1.0 / (1.0 - alpha_c)
             dalpha = jnp.where(
                 contribute,
@@ -536,22 +553,30 @@ def _bwd_kernel(cfg: CompositeConfig):
             )
             # CUDA parity: alpha = op*G, 0.99 clamp ignored in backward.
             dldp = a["op"] * dalpha * a["g"]  # dL/dpower
-            # All six per-pair reductions are linear in the polynomial
-            # moments of dldp over the tile-local pixel basis — ONE k=6
-            # matmul replaces five masked multiply+reduce passes (the CUDA
-            # per-thread atomics, backward.cu:519-549). dx = mx - x with both
-            # tile-local, so the expansions below are cancellation-benign.
-            M = _dotg(dldp, basis, ((1,), (1,)), _TRI_PRECISION)  # (CHUNK, 6)
-            M0, Mx, My = M[:, 0:1], M[:, 1:2], M[:, 2:3]
-            Mxx, Myy, Mxy = M[:, 3:4], M[:, 4:5], M[:, 5:6]
-            mx, my = a["mx"], a["my"]
-            ex = mx * M0 - Mx  # = sum dldp*dx
-            ey = my * M0 - My
+            # All six per-pair reductions as DIRECT lane-reductions of
+            # dldp against dx/dy (already live in VMEM from the alpha
+            # math) — the CUDA per-thread accumulations (backward.cu:519-
+            # 549) as VPU row sums. An expanded polynomial-moment form
+            # (ex = mx*M0 - Mx via one k=6 MXU matmul) is ~1 ms cheaper
+            # but amplifies matmul rounding by |Mx|/|ex| under
+            # cancellation: measured 1.24e-3 scaled means-grad drift on
+            # TPU hardware where this direct form (and CPU f32) gives
+            # ~2e-6. Parity budget (<=1e-3) wins.
+            dx, dy = a["dx"], a["dy"]
+            t1 = dldp * dx
+            t2 = dldp * dy
+
+            def rsum(v):  # (CHUNK, PX) -> (CHUNK, 1)
+                return jnp.sum(v, axis=1, keepdims=True)
+
+            M0 = rsum(dldp)
+            ex = rsum(t1)  # = sum dldp*dx
+            ey = rsum(t2)
             dmx = -(a["ca"] * ex + a["cb"] * ey)
             dmy = -(a["cc"] * ey + a["cb"] * ex)
-            dca = -0.5 * (mx * mx * M0 - 2.0 * mx * Mx + Mxx)
-            dcb = -(mx * my * M0 - mx * My - my * Mx + Mxy)
-            dcc = -0.5 * (my * my * M0 - 2.0 * my * My + Myy)
+            dca = -0.5 * rsum(t1 * dx)
+            dcb = -rsum(t1 * dy)
+            dcc = -0.5 * rsum(t2 * dy)
             # dldp = op * (g * dalpha)  =>  sum g*dalpha = M0 / op
             dop = jnp.where(a["op"] > 0.0, M0 / jnp.maximum(a["op"], 1e-30), 0.0)
             dcolor = _dotg(w, ghat, ((1,), (1,)), _TRI_PRECISION)  # (CHUNK, C)
@@ -568,7 +593,7 @@ def _bwd_kernel(cfg: CompositeConfig):
             merged_write(k)
 
             # Remove this chunk's product -> T after the previous chunk.
-            b = b * jnp.exp(-jnp.sum(l, axis=0, keepdims=True))
+            b = b / sp[0:1]
             s = s + jnp.sum(wq, axis=0, keepdims=True)
             return (b, s)
 

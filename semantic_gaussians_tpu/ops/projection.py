@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.sh import eval_sh
-from ..utils.transforms import build_covariance_3d, unstrip_symmetric
 
 NEAR_CULL_Z = 0.2
 LOWPASS = 0.3
@@ -44,18 +43,14 @@ class ProjectedGaussians:
     # tile binning (tighter than the circle; see project_gaussians)
 
 
-def compute_cov2d(
-    means: jnp.ndarray,
-    cov3d: jnp.ndarray,  # [N, 3, 3]
-    world_view: jnp.ndarray,  # [4, 4]
-    focal_x: float,
-    focal_y: float,
-    tan_fov_x: float,
-    tan_fov_y: float,
-) -> jnp.ndarray:
-    """EWA projection of 3D covariance to 2D: returns [N, 3] (a, b, c).
+def _ewa_rows(means, world_view, focal_x, focal_y, tan_fov_x, tan_fov_y):
+    """The two rows u, v of JW as per-component (N,) arrays.
 
-    cov2d = J W Sigma W^T J^T + 0.3*I  (forward.cu:74-113).
+    J's rows are sparse ([fx/z, 0, -fx*tx/z^2] and [0, fy/z, -fy*ty/z^2]), so
+    row0(JW) = (fx/z)*W[0,:] + (-fx*tx/z^2)*W[2,:] — a 2-term combination of
+    *constant* camera rows. Keeping everything as (N,) component arrays avoids
+    the (N,2,3)/(N,3,3) batched matmuls XLA lowers as bf16 convolution fusions
+    with layout copies (measured ~4.5 ms of the 100k-Gaussian step).
     """
     W = world_view[:3, :3]
     t = means @ W.T + world_view[:3, 3]
@@ -65,27 +60,90 @@ def compute_cov2d(
     tz = jnp.where(t[:, 2] > NEAR_CULL_Z, t[:, 2], 1.0)
     limx = 1.3 * tan_fov_x
     limy = 1.3 * tan_fov_y
-    txtz = jnp.clip(t[:, 0] / tz, -limx, limx)
-    tytz = jnp.clip(t[:, 1] / tz, -limy, limy)
-    tx = txtz * tz
-    ty = tytz * tz
-
+    tx = jnp.clip(t[:, 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
     inv_z = 1.0 / tz
-    inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    # J is [N, 2, 3] (third row of the CUDA J is zero — drop it).
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], axis=-1),
-            jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
+    a1 = focal_x * inv_z
+    b1 = -focal_x * tx * inv_z * inv_z
+    a2 = focal_y * inv_z
+    b2 = -focal_y * ty * inv_z * inv_z
+    u = tuple(a1 * W[0, j] + b1 * W[2, j] for j in range(3))
+    v = tuple(a2 * W[1, j] + b2 * W[2, j] for j in range(3))
+    return u, v
+
+
+def compute_cov2d(
+    means: jnp.ndarray,
+    cov3d6: jnp.ndarray,  # [N, 6] packed (xx, xy, xz, yy, yz, zz)
+    world_view: jnp.ndarray,  # [4, 4]
+    focal_x: float,
+    focal_y: float,
+    tan_fov_x: float,
+    tan_fov_y: float,
+) -> jnp.ndarray:
+    """EWA projection of 3D covariance to 2D: returns [N, 3] (a, b, c).
+
+    cov2d = J W Sigma W^T J^T + 0.3*I (forward.cu:74-113), evaluated fully
+    elementwise (see _ewa_rows): a = u^T Sigma u, b = u^T Sigma v,
+    c = v^T Sigma v over the packed 6-vector.
+    """
+    u, v = _ewa_rows(means, world_view, focal_x, focal_y, tan_fov_x, tan_fov_y)
+    xx, xy, xz, yy, yz, zz = (cov3d6[:, i] for i in range(6))
+
+    def quad(p, q):
+        return (
+            xx * p[0] * q[0]
+            + yy * p[1] * q[1]
+            + zz * p[2] * q[2]
+            + xy * (p[0] * q[1] + p[1] * q[0])
+            + xz * (p[0] * q[2] + p[2] * q[0])
+            + yz * (p[1] * q[2] + p[2] * q[1])
+        )
+
+    a = quad(u, u) + LOWPASS
+    b = quad(u, v)
+    c = quad(v, v) + LOWPASS
+    return jnp.stack([a, b, c], axis=-1)
+
+
+def compute_cov2d_from_scales_quats(
+    means: jnp.ndarray,
+    scales: jnp.ndarray,  # [N, 3] (activated, incl. scaling_modifier)
+    quats: jnp.ndarray,  # [N, 4] raw
+    world_view: jnp.ndarray,
+    focal_x: float,
+    focal_y: float,
+    tan_fov_x: float,
+    tan_fov_y: float,
+) -> jnp.ndarray:
+    """Fused EWA path: Sigma = R diag(s^2) R^T never materialized; with
+    L = R diag(s), a = |L^T u|^2, b = (L^T u)·(L^T v), c = |L^T v|^2 — all
+    (N,) component arithmetic (no batched matmuls; exact f32 on the VPU,
+    unlike the MXU's default bf16x3 passes)."""
+    from ..utils.transforms import normalize_quat
+
+    u, v = _ewa_rows(means, world_view, focal_x, focal_y, tan_fov_x, tan_fov_y)
+    q = normalize_quat(quats)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    # C[i] = column i of the rotation matrix (quat_to_rotmat convention):
+    # C[i][j] = Rmat[j][i].
+    C = (
+        (1 - 2 * (y * y + z * z), 2 * (x * y + w * z), 2 * (x * z - w * y)),
+        (2 * (x * y - w * z), 1 - 2 * (x * x + z * z), 2 * (y * z + w * x)),
+        (2 * (x * z + w * y), 2 * (y * z - w * x), 1 - 2 * (x * x + y * y)),
     )
-    JW = J @ W  # [N, 2, 3]
-    cov = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)  # [N, 2, 2]
-    a = cov[:, 0, 0] + LOWPASS
-    b = cov[:, 0, 1]
-    c = cov[:, 1, 1] + LOWPASS
+    s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+
+    def ltdot(p):  # (L^T p)_i = s_i * (col_i . p)
+        return tuple(
+            s * (C[i][0] * p[0] + C[i][1] * p[1] + C[i][2] * p[2])
+            for i, s in enumerate((s0, s1, s2))
+        )
+
+    lu, lv = ltdot(u), ltdot(v)
+    a = lu[0] * lu[0] + lu[1] * lu[1] + lu[2] * lu[2] + LOWPASS
+    b = lu[0] * lv[0] + lu[1] * lv[1] + lu[2] * lv[2]
+    c = lv[0] * lv[0] + lv[1] * lv[1] + lv[2] * lv[2] + LOWPASS
     return jnp.stack([a, b, c], axis=-1)
 
 
@@ -139,15 +197,17 @@ def project_gaussians(
     if mean2d_offset is not None:
         means2d = means2d + mean2d_offset
 
-    # 3D covariance.
+    # 3D covariance -> 2D conic (elementwise EWA; no (N,3,3) tensors).
     if cov3d_precomp is not None:
-        cov3d = unstrip_symmetric(cov3d_precomp)
+        cov2d = compute_cov2d(
+            means, cov3d_precomp, world_view, focal_x, focal_y,
+            tan_fov_x, tan_fov_y,
+        )
     else:
-        cov3d = build_covariance_3d(scales * scaling_modifier, quats)
-
-    cov2d = compute_cov2d(
-        means, cov3d, world_view, focal_x, focal_y, tan_fov_x, tan_fov_y
-    )
+        cov2d = compute_cov2d_from_scales_quats(
+            means, scales * scaling_modifier, quats, world_view,
+            focal_x, focal_y, tan_fov_x, tan_fov_y,
+        )
     a, b, c = cov2d[:, 0], cov2d[:, 1], cov2d[:, 2]
     det = a * c - b * b
     det_ok = det != 0.0

@@ -38,6 +38,80 @@ from .projection import ProjectedGaussians
 DEFAULT_TILE: Tuple[int, int] = (16, 32)
 
 
+@jax.custom_vjp
+def pack_gather(
+    packed, pair_gaussian, tile_pos_of_gen, gen_owner, orig_to_dense, num_pairs
+):
+    """Tile-ordered pair columns: packed[pair_gaussian].T -> (D, P).
+
+    Forward is the plain XLA row gather (bandwidth-bound, ~1.2 ms at P=655k).
+    The hand-written VJP replaces XLA's serialized scatter-add (8.6 ms) with:
+    permute cotangents to generation order (row gather), contiguous segment
+    sum per depth-rank owner (Pallas one-hot-matmul kernel, ops.segsum), and
+    an N-scale gather back to original ids. Deterministic by construction —
+    the TPU answer to the CUDA backward's atomicAdd scatter
+    (channel-rasterization backward.cu:519-549)."""
+    del tile_pos_of_gen, gen_owner, orig_to_dense, num_pairs
+    return packed[pair_gaussian].T
+
+
+def _pack_gather_fwd(
+    packed, pair_gaussian, tile_pos_of_gen, gen_owner, orig_to_dense, num_pairs
+):
+    out = packed[pair_gaussian].T
+    return out, (
+        tile_pos_of_gen, gen_owner, orig_to_dense, num_pairs, packed.shape[0]
+    )
+
+
+def _pack_gather_bwd(res, cot):
+    import numpy as np
+    from jax._src import dtypes as _jax_dtypes
+    from .segsum import CHUNK as SEG_CHUNK, segsum_contiguous
+
+    tile_pos_of_gen, gen_owner, orig_to_dense, num_pairs, n_rows = res
+    # (D, P) cotangent -> generation order along the pair axis (the pack's
+    # natural transposed-SoA layout flows straight into the segsum kernel).
+    cot_gen = cot[:, tile_pos_of_gen]
+    d, p = cot_gen.shape
+    # Invalid pairs (sentinel row in the forward) may carry NaN cotangents
+    # from the composite backward's masked math; the old scatter-add
+    # quarantined them in the discarded sentinel row, but the one-hot MATMUL
+    # would smear 0*NaN across its whole window — zero them instead.
+    valid = (jnp.arange(p, dtype=jnp.int32) < num_pairs)[None, :]
+    cot_gen = jnp.where(valid, cot_gen, 0.0)
+    owners = gen_owner
+    pad = (-p) % SEG_CHUNK
+    if pad:
+        # padding cols carry owner = last owner (trash-adjacent): keep the
+        # non-decreasing invariant, accumulate zeros.
+        cot_gen = jnp.pad(cot_gen, ((0, 0), (0, pad)))
+        owners = jnp.concatenate(
+            [owners, jnp.broadcast_to(owners[-1:], (pad,))]
+        )
+    grad_dense = segsum_contiguous(
+        cot_gen, owners, n_rows, interpret=jax.default_backend() == "cpu"
+    )  # (D, n_rows) in depth-rank order
+    # dense depth-rank cols -> original-id rows; sentinel (col n_rows-1 == N)
+    # collects zero-pair gaussians and is returned as the sentinel row grad
+    # (discarded upstream by the concat VJP).
+    d_packed = grad_dense[
+        :, jnp.concatenate([orig_to_dense, jnp.array([n_rows - 1], jnp.int32)])
+    ].T
+    f0 = lambda x: np.zeros(x.shape, _jax_dtypes.float0)
+    return (
+        d_packed,
+        f0(tile_pos_of_gen),
+        f0(tile_pos_of_gen),
+        f0(gen_owner),
+        f0(orig_to_dense),
+        f0(num_pairs),
+    )
+
+
+pack_gather.defvjp(_pack_gather_fwd, _pack_gather_bwd)
+
+
 def _pack_pair_cols(proj: ProjectedGaussians, binning: TileBinning) -> jnp.ndarray:
     """Gather per-pair splat columns [8+C, P] in sorted order (differentiable)."""
     n = proj.means2d.shape[0]
@@ -56,7 +130,19 @@ def _pack_pair_cols(proj: ProjectedGaussians, binning: TileBinning) -> jnp.ndarr
     packed = jnp.concatenate(
         [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)], axis=0
     )
-    return packed[binning.pair_gaussian].T  # (D, P)
+    import os
+
+    if os.environ.get("SGTPU_NO_SEGSUM"):  # A/B attribution switch: XLA
+        # scatter-add VJP baseline (slow, exact-order) for parity debugging
+        return packed[binning.pair_gaussian].T
+    return pack_gather(
+        packed,
+        binning.pair_gaussian,
+        binning.tile_pos_of_gen,
+        binning.gen_owner,
+        binning.orig_to_dense,
+        binning.num_pairs,
+    )
 
 
 def _untile(tile_major: jnp.ndarray, cfg: CompositeConfig, h: int, w: int):

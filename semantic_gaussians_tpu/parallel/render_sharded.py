@@ -116,7 +116,13 @@ def render_sharded(
     grid_h = -(-camera.height // th)
     band_rows = -(-grid_h // ndev)  # tile rows per device
     n = params.capacity
-    budget = pair_budget or max(8192, default_pair_budget(n) // ndev)
+    # Per-band budget: an even 1/ndev split would overflow whenever splats
+    # cluster in one band (the single-chip path would not), so default to 2x
+    # headroom over the even split, 8k-granule rounded. Overflow is still
+    # counted and surfaced; callers can pass pair_budget to override.
+    budget = pair_budget or max(
+        8192, -(-default_pair_budget(n) * 2 // ndev) // 8192 * 8192
+    )
     num_ch = 3 if override_color is None else override_color.shape[-1]
     if bg is None:
         bg = jnp.zeros(num_ch, jnp.float32)

@@ -146,8 +146,11 @@ def make_hybrid_train_step(
     def render_body(params, alive, cam_batch, bg, offsets):
         cam = jax.tree.map(lambda x: x[0], cam_batch)  # this host's view
         band = jax.lax.axis_index(axis_band)
+        # 2x headroom over the even split (see render_sharded: clustered
+        # splats would overflow an even 1/nband budget)
         budget = pair_budget or max(
-            8192, default_pair_budget(params.capacity) // nband
+            8192,
+            -(-default_pair_budget(params.capacity) * 2 // nband) // 8192 * 8192,
         )
         ccfg = CompositeConfig(
             tile_h=th, tile_w=tw, grid_h=band_rows, grid_w=grid_w,

@@ -238,6 +238,7 @@ def train_loop(
     # are rare; grows on overflow, shrinks when <30% utilized. pair_budget
     # given explicitly disables adaptation.
     adaptive = pair_budget is None
+    pending_check = None
     if adaptive:
         from ..ops.binning import default_pair_budget
 
@@ -259,18 +260,23 @@ def train_loop(
                 pair_budget=pair_budget,
             )
         if adaptive and it % 10 == 0:
-            # periodic (host-sync) budget adaptation: double on overflow,
-            # resize to ~1.5x utilization on power-of-two buckets
-            ov = int(metrics["overflow"])
-            if ov > 0:
-                pair_budget *= 2
-            elif it % 50 == 0:
-                pairs = int(metrics["num_pairs"])
-                want = max(
-                    8192, 1 << int(np.ceil(np.log2(max(pairs, 1) * 1.5)))
-                )
-                if want > pair_budget or want < pair_budget // 2:
-                    pair_budget = want
+            # Periodic budget adaptation: double on overflow, resize to
+            # ~1.5x utilization on power-of-two buckets. Decisions consume
+            # the PREVIOUS checkpoint's metrics (10 steps stale): those
+            # arrays are long since materialized, so int() never blocks the
+            # device pipeline on the in-flight step.
+            if pending_check is not None:
+                ov_arr, pairs_arr, chk_it = pending_check
+                if int(ov_arr) > 0:
+                    pair_budget *= 2
+                elif chk_it % 50 == 0:
+                    pairs = int(pairs_arr)
+                    want = max(
+                        8192, 1 << int(np.ceil(np.log2(max(pairs, 1) * 1.5)))
+                    )
+                    if want > pair_budget or want < pair_budget // 2:
+                        pair_budget = want
+            pending_check = (metrics["overflow"], metrics["num_pairs"], it)
         if tb and it % 10 == 0:
             # reference TB parity (train.py:182-187)
             tb.scalar("train/loss", metrics["loss"], it)

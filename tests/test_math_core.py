@@ -203,3 +203,89 @@ def test_knn_matches_bruteforce(rng):
     np.fill_diagonal(d2, np.inf)
     want = np.sort(d2, axis=1)[:, :3].mean(1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_cov2d_elementwise_matches_matmul_oracle(rng):
+    """The fused elementwise EWA paths (packed-6 and scales/quats) must match
+    the straightforward J W Sigma W^T J^T batched-matmul construction
+    (forward.cu:74-113) in value AND gradient."""
+    import jax
+    import jax.numpy as jnp
+    from semantic_gaussians_tpu.ops.projection import (
+        LOWPASS,
+        NEAR_CULL_Z,
+        compute_cov2d,
+        compute_cov2d_from_scales_quats,
+    )
+    from semantic_gaussians_tpu.utils.transforms import (
+        build_covariance_3d,
+        strip_symmetric,
+    )
+
+    n = 64
+    means = jnp.asarray(
+        rng.normal(size=(n, 3)).astype(np.float32) + np.array([0, 0, 4])
+    )
+    scales = jnp.asarray(np.exp(rng.normal(size=(n, 3)) * 0.3).astype(np.float32))
+    quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    th = 0.3
+    wv = np.eye(4, dtype=np.float32)
+    wv[:3, :3] = np.array(
+        [[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]],
+        np.float32,
+    )
+    wv = jnp.asarray(wv)
+    fx, fy, tx, ty = 200.0, 180.0, 1.1, 0.9
+
+    def oracle(means, scales, quats):
+        W = wv[:3, :3]
+        t = means @ W.T + wv[:3, 3]
+        tz = jnp.where(t[:, 2] > NEAR_CULL_Z, t[:, 2], 1.0)
+        txy = jnp.clip(t[:, 0] / tz, -1.3 * tx, 1.3 * tx) * tz
+        tyy = jnp.clip(t[:, 1] / tz, -1.3 * ty, 1.3 * ty) * tz
+        iz = 1.0 / tz
+        zeros = jnp.zeros_like(tz)
+        J = jnp.stack(
+            [
+                jnp.stack([fx * iz, zeros, -fx * txy * iz * iz], -1),
+                jnp.stack([zeros, fy * iz, -fy * tyy * iz * iz], -1),
+            ],
+            -2,
+        )
+        JW = J @ W
+        cov3d = build_covariance_3d(scales, quats)
+        cov = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)
+        return jnp.stack(
+            [cov[:, 0, 0] + LOWPASS, cov[:, 0, 1], cov[:, 1, 1] + LOWPASS], -1
+        )
+
+    ref = np.asarray(oracle(means, scales, quats))
+    got_sq = np.asarray(
+        compute_cov2d_from_scales_quats(
+            means, scales, quats, wv, fx, fy, tx, ty
+        )
+    )
+    np.testing.assert_allclose(got_sq, ref, rtol=2e-5, atol=2e-5)
+    cov6 = strip_symmetric(build_covariance_3d(scales, quats))
+    got_p6 = np.asarray(compute_cov2d(means, cov6, wv, fx, fy, tx, ty))
+    np.testing.assert_allclose(got_p6, ref, rtol=2e-5, atol=2e-5)
+
+    # gradient parity through a scalar functional
+    w = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+
+    def f_new(m, s, q):
+        return jnp.sum(
+            compute_cov2d_from_scales_quats(m, s, q, wv, fx, fy, tx, ty) * w
+        )
+
+    def f_ref(m, s, q):
+        return jnp.sum(oracle(m, s, q) * w)
+
+    g_new = jax.grad(f_new, argnums=(0, 1, 2))(means, scales, quats)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(means, scales, quats)
+    for a, b in zip(g_new, g_ref):
+        scale = np.abs(np.asarray(b)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5
+        )

@@ -22,7 +22,21 @@ def _scene(n=200, seed=0):
     rng = np.random.default_rng(seed)
     pts = (rng.normal(size=(n, 3)) * 0.5 + [0, 0, 4]).astype(np.float32)
     cols = rng.uniform(size=(n, 3)).astype(np.float32)
-    return init_from_pcd(pts, cols, sh_degree=2, capacity=256)
+    params, alive = init_from_pcd(pts, cols, sh_degree=2, capacity=256)
+    # Random orientations + anisotropic scales: identity quats on isotropic
+    # splats have mathematically ZERO rotation gradient, so grad-parity
+    # checks would compare rounding noise against rounding noise.
+    params = dataclasses.replace(
+        params,
+        quats=jnp.asarray(rng.normal(size=params.quats.shape).astype(np.float32)),
+        log_scales=params.log_scales
+        + jnp.asarray(
+            rng.uniform(-0.8, 0.8, size=params.log_scales.shape).astype(
+                np.float32
+            )
+        ),
+    )
+    return params, alive
 
 
 @pytest.mark.slow
