@@ -37,6 +37,7 @@ def _tiny_hf_model():
     return torch, model
 
 
+@pytest.mark.slow
 def test_matches_hf_torch():
     torch, model = _tiny_hf_model()
     rng = np.random.default_rng(0)

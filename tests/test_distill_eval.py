@@ -114,6 +114,7 @@ def test_ensemble_argmax():
     assert cls.tolist() == [0, 1, 2]
 
 
+@pytest.mark.slow
 def test_distill_eval_render_hook(tmp_path, rng):
     """The every-N-epoch semantic render eval (ref distill.py:151-232):
     writes palette-colored PNGs of the val scene during training."""

@@ -1,0 +1,275 @@
+"""LSeg JAX image tower tests: torch cross-checks + pipeline integration."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from semantic_gaussians_tpu.models.lseg import (
+    LSegConfig,
+    LSegNet,
+    LSegPredictor,
+    ViTTapped,
+    params_from_lseg_state_dict,
+    resize_bilinear_ac,
+)
+
+
+def _hf_vit_to_lseg_sd(torch_sd, layers):
+    """Map transformers.ViTModel keys to the timm/LSeg naming that
+    params_from_lseg_state_dict consumes (the ViT math is identical;
+    only the checkpoint naming differs)."""
+    import torch
+
+    out = {}
+    out["pretrained.model.patch_embed.proj.weight"] = torch_sd[
+        "embeddings.patch_embeddings.projection.weight"
+    ]
+    out["pretrained.model.patch_embed.proj.bias"] = torch_sd[
+        "embeddings.patch_embeddings.projection.bias"
+    ]
+    out["pretrained.model.cls_token"] = torch_sd["embeddings.cls_token"]
+    out["pretrained.model.pos_embed"] = torch_sd[
+        "embeddings.position_embeddings"
+    ]
+    for i in range(layers):
+        src = f"encoder.layer.{i}"
+        dst = f"pretrained.model.blocks.{i}"
+        out[f"{dst}.norm1.weight"] = torch_sd[f"{src}.layernorm_before.weight"]
+        out[f"{dst}.norm1.bias"] = torch_sd[f"{src}.layernorm_before.bias"]
+        out[f"{dst}.norm2.weight"] = torch_sd[f"{src}.layernorm_after.weight"]
+        out[f"{dst}.norm2.bias"] = torch_sd[f"{src}.layernorm_after.bias"]
+        qw = torch_sd[f"{src}.attention.attention.query.weight"]
+        kw = torch_sd[f"{src}.attention.attention.key.weight"]
+        vw = torch_sd[f"{src}.attention.attention.value.weight"]
+        qb = torch_sd[f"{src}.attention.attention.query.bias"]
+        kb = torch_sd[f"{src}.attention.attention.key.bias"]
+        vb = torch_sd[f"{src}.attention.attention.value.bias"]
+        out[f"{dst}.attn.qkv.weight"] = torch.cat([qw, kw, vw], 0)
+        out[f"{dst}.attn.qkv.bias"] = torch.cat([qb, kb, vb], 0)
+        out[f"{dst}.attn.proj.weight"] = torch_sd[
+            f"{src}.attention.output.dense.weight"
+        ]
+        out[f"{dst}.attn.proj.bias"] = torch_sd[
+            f"{src}.attention.output.dense.bias"
+        ]
+        out[f"{dst}.mlp.fc1.weight"] = torch_sd[f"{src}.intermediate.dense.weight"]
+        out[f"{dst}.mlp.fc1.bias"] = torch_sd[f"{src}.intermediate.dense.bias"]
+        out[f"{dst}.mlp.fc2.weight"] = torch_sd[f"{src}.output.dense.weight"]
+        out[f"{dst}.mlp.fc2.bias"] = torch_sd[f"{src}.output.dense.bias"]
+    return {k: v.detach().numpy() for k, v in out.items()}
+
+
+@pytest.mark.slow
+def test_vit_backbone_matches_hf_torch():
+    """The flax ViT backbone must reproduce transformers.ViTModel's
+    per-layer hidden states (same math: pre-LN blocks, erf GELU, packed
+    qkv) from converted random weights."""
+    import torch
+    from transformers import ViTConfig, ViTModel
+
+    torch.manual_seed(0)
+    layers, width, heads, patch, img = 4, 64, 4, 16, 64
+    hf = ViTModel(
+        ViTConfig(
+            hidden_size=width, num_hidden_layers=layers,
+            num_attention_heads=heads, intermediate_size=4 * width,
+            image_size=img, patch_size=patch, layer_norm_eps=1e-6,
+            hidden_act="gelu",
+        ),
+        add_pooling_layer=False,
+    ).eval()
+
+    taps = (0, 1, 2, 3)
+    vit = ViTTapped(
+        patch=patch, width=width, layers=layers, heads=heads, taps=taps,
+        native_grid=img // patch,
+    )
+    sd = _hf_vit_to_lseg_sd(dict(hf.state_dict()), layers)
+    # convert just the vit subtree (decoder keys absent from this sd)
+    from semantic_gaussians_tpu.models import lseg as lseg_mod
+
+    p = {}
+    p["patch_embed"] = {
+        "kernel": lseg_mod._conv(sd["pretrained.model.patch_embed.proj.weight"]),
+        "bias": np.asarray(sd["pretrained.model.patch_embed.proj.bias"], np.float32),
+    }
+    p["cls_token"] = np.asarray(
+        sd["pretrained.model.cls_token"], np.float32
+    ).reshape(1, 1, -1)
+    p["pos_embed"] = np.asarray(sd["pretrained.model.pos_embed"], np.float32)
+    for i in range(layers):
+        b = f"pretrained.model.blocks.{i}"
+        p[f"block_{i}"] = {
+            "norm1": {"scale": sd[f"{b}.norm1.weight"], "bias": sd[f"{b}.norm1.bias"]},
+            "norm2": {"scale": sd[f"{b}.norm2.weight"], "bias": sd[f"{b}.norm2.bias"]},
+            "attn": {
+                "qkv": {"kernel": np.asarray(sd[f"{b}.attn.qkv.weight"]).T,
+                        "bias": sd[f"{b}.attn.qkv.bias"]},
+                "proj": {"kernel": np.asarray(sd[f"{b}.attn.proj.weight"]).T,
+                         "bias": sd[f"{b}.attn.proj.bias"]},
+            },
+            "fc1": {"kernel": np.asarray(sd[f"{b}.mlp.fc1.weight"]).T,
+                    "bias": sd[f"{b}.mlp.fc1.bias"]},
+            "fc2": {"kernel": np.asarray(sd[f"{b}.mlp.fc2.weight"]).T,
+                    "bias": sd[f"{b}.mlp.fc2.bias"]},
+        }
+    p = jax.tree.map(lambda x: jnp.asarray(np.asarray(x, np.float32)), p)
+
+    rng = np.random.default_rng(1)
+    img_np = rng.normal(size=(1, img, img, 3)).astype(np.float32)
+    outs, grid = vit.apply({"params": p}, jnp.asarray(img_np))
+    assert grid == (4, 4)
+
+    with torch.no_grad():
+        hf_out = hf(
+            torch.from_numpy(img_np.transpose(0, 3, 1, 2)),
+            output_hidden_states=True,
+        )
+    # hidden_states[i+1] is layer i's output (pre final LN)
+    for tap_i, ours in zip(taps, outs):
+        theirs = hf_out.hidden_states[tap_i + 1].numpy()
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs, rtol=2e-4, atol=2e-5
+        )
+
+
+def test_resize_bilinear_align_corners_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 5, 7, 3)).astype(np.float32)
+    got = np.asarray(resize_bilinear_ac(jnp.asarray(x), 10, 14))
+    want = (
+        F.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            size=(10, 14), mode="bilinear", align_corners=True,
+        )
+        .numpy()
+        .transpose(0, 2, 3, 1)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_lseg_net_shapes_and_converter_roundtrip():
+    """A tiny LSegNet runs end to end; a fake reference-named state_dict
+    converts into a variable tree that apply() accepts and that changes
+    the output (weights actually land where they should)."""
+    cfg = LSegConfig.tiny(out_ch=8)
+    net = LSegNet(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 64, 96, 3)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(variables, x)
+    assert out.shape == (1, 64, 96, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # fake checkpoint with the reference's naming (lseg_vit/lseg_blocks)
+    r = np.random.default_rng(1)
+
+    def t(*shape):
+        return r.normal(size=shape).astype(np.float32) * 0.05
+
+    w, f = cfg.width, cfg.features
+    rc = cfg.reassemble_ch
+    sd = {
+        "pretrained.model.patch_embed.proj.weight": t(w, 3, 16, 16),
+        "pretrained.model.patch_embed.proj.bias": t(w),
+        "pretrained.model.cls_token": t(1, 1, w),
+        "pretrained.model.pos_embed": t(1, 1 + cfg.native_grid ** 2, w),
+    }
+    for i in range(cfg.layers):
+        b = f"pretrained.model.blocks.{i}"
+        sd.update({
+            f"{b}.norm1.weight": t(w), f"{b}.norm1.bias": t(w),
+            f"{b}.norm2.weight": t(w), f"{b}.norm2.bias": t(w),
+            f"{b}.attn.qkv.weight": t(3 * w, w), f"{b}.attn.qkv.bias": t(3 * w),
+            f"{b}.attn.proj.weight": t(w, w), f"{b}.attn.proj.bias": t(w),
+            f"{b}.mlp.fc1.weight": t(4 * w, w), f"{b}.mlp.fc1.bias": t(4 * w),
+            f"{b}.mlp.fc2.weight": t(w, 4 * w), f"{b}.mlp.fc2.bias": t(w),
+        })
+    for i in range(4):
+        b = f"pretrained.act_postprocess{i + 1}"
+        sd[f"{b}.0.project.0.weight"] = t(w, 2 * w)
+        sd[f"{b}.0.project.0.bias"] = t(w)
+        sd[f"{b}.3.weight"] = t(rc[i], w, 1, 1)
+        sd[f"{b}.3.bias"] = t(rc[i])
+        if i == 0:
+            sd[f"{b}.4.weight"] = t(rc[i], rc[i], 4, 4)  # convT IOHW
+            sd[f"{b}.4.bias"] = t(rc[i])
+        elif i == 1:
+            sd[f"{b}.4.weight"] = t(rc[i], rc[i], 2, 2)
+            sd[f"{b}.4.bias"] = t(rc[i])
+        elif i == 3:
+            sd[f"{b}.4.weight"] = t(rc[i], rc[i], 3, 3)  # conv OIHW
+            sd[f"{b}.4.bias"] = t(rc[i])
+    for i in range(4):
+        sd[f"scratch.layer{i + 1}_rn.weight"] = t(f, rc[i], 3, 3)
+    for i in range(4):
+        b = f"scratch.refinenet{i + 1}"
+        units = ("resConfUnit2",) if i == 3 else (
+            "resConfUnit1", "resConfUnit2"
+        )
+        for u in units:
+            for j in (1, 2):
+                sd[f"{b}.{u}.conv{j}.weight"] = t(f, f, 3, 3)
+                sd[f"{b}.{u}.bn{j}.weight"] = 1.0 + t(f)
+                sd[f"{b}.{u}.bn{j}.bias"] = t(f)
+                sd[f"{b}.{u}.bn{j}.running_mean"] = t(f)
+                sd[f"{b}.{u}.bn{j}.running_var"] = 1.0 + np.abs(t(f))
+        sd[f"{b}.out_conv.weight"] = t(f, f, 1, 1)
+        sd[f"{b}.out_conv.bias"] = t(f)
+    sd["scratch.head1.weight"] = t(cfg.out_ch, f, 1, 1)
+    sd["scratch.head1.bias"] = t(cfg.out_ch)
+
+    conv = params_from_lseg_state_dict(sd, cfg)
+    # exact same tree structure as init (so apply() can't silently drop keys)
+    init_shapes = jax.tree.map(lambda a: a.shape, variables)
+    conv_shapes = jax.tree.map(lambda a: np.asarray(a).shape, conv)
+    assert init_shapes == conv_shapes
+    out2 = net.apply(conv, x)
+    assert out2.shape == out.shape
+    assert np.isfinite(np.asarray(out2)).all()
+    assert np.abs(np.asarray(out2) - np.asarray(out)).max() > 1e-6
+
+
+@pytest.mark.slow
+def test_lseg_predictor_feeds_fusion(tmp_path, rng):
+    """extract_image_feature -> fuse_scene end to end: an LSeg provider's
+    per-pixel maps land on Gaussians (VERDICT round-1 item 3)."""
+    from PIL import Image
+
+    from semantic_gaussians_tpu.core.gaussians import init_from_pcd
+    from semantic_gaussians_tpu.pipelines.fusion import FusionConfig, fuse_scene
+    from semantic_gaussians_tpu.utils.camera import make_camera
+
+    cfg = LSegConfig.tiny(out_ch=8)
+    net = LSegNet(cfg)
+    variables = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )
+    pred = LSegPredictor(cfg=cfg, variables=variables, base_size=64)
+    assert pred.embedding_dim == 8
+
+    img = (rng.uniform(size=(48, 64, 3)) * 255).astype(np.uint8)
+    path = tmp_path / "view0.png"
+    Image.fromarray(img).save(path)
+
+    feat = pred.extract_image_feature(str(path), (64, 48))
+    assert feat.shape == (48, 64, 8)
+    norms = np.linalg.norm(feat, axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+    n, cap = 60, 64
+    pts = (rng.normal(size=(n, 3)) * 0.3 + [0, 0, 2.5]).astype(np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    params, alive = init_from_pcd(pts, cols, capacity=cap)
+    cam = make_camera(np.eye(3), np.zeros(3), 1.2, 1.0, 64, 48)
+    fcfg = FusionConfig(img_dim=(64, 48), depth=None, every_k_views=1)
+    feats, visited = fuse_scene(
+        params, alive, [cam], pred, fcfg, image_paths=[str(path)],
+        backend="dense",
+    )
+    assert feats.shape == (cap, 8)
+    assert bool(np.asarray(visited).any())
+    assert np.isfinite(np.asarray(feats)).all()
