@@ -60,7 +60,16 @@ def main():
     cam = make_camera(np.eye(3), np.zeros(3), 1.4, 1.1, w, h)
     target = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
 
-    budget = 655_360  # ~1.8x the scene's actual pair count (overflow checked)
+    # Probe the scene's pair count once, then size the budget with the SAME
+    # policy train_loop's adaptive mode converges to (quarter-pow2 granules,
+    # 1.25x headroom): everything in the pair stream (gathers, sorts, the
+    # segment sum) scales with the static budget, not the live pair count.
+    probe = render(cam, params, alive=alive, pair_budget=1 << 20)
+    pairs = int(probe["num_pairs"])
+    assert int(probe["overflow"]) == 0, "probe budget overflow"
+    from semantic_gaussians_tpu.pipelines.train import tuned_pair_budget
+
+    budget = tuned_pair_budget(pairs)
 
     def loss(params):
         out = render(cam, params, alive=alive, pair_budget=budget)

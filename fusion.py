@@ -60,10 +60,17 @@ def main():
         params, alive = load_gaussian_ply(ply)
         print(f"loaded {ply}: {int(np.asarray(alive).sum())} gaussians")
 
-    if f.get("model_2d", "precomputed") == "precomputed":
+    model_2d = f.get("model_2d", "precomputed")
+    if model_2d == "precomputed":
         provider = PrecomputedFeatureProvider(
             f.feature_dir, int(f.get("embedding_dim", 768))
         )
+    elif model_2d == "lseg":
+        # Native JAX LSeg (reference fusion.py:266-276 selects lseg the same
+        # way); checkpoint is the public demo_e200.ckpt torch state dict.
+        from semantic_gaussians_tpu.models.lseg import LSegPredictor
+
+        provider = LSegPredictor(checkpoint_path=f.lseg_checkpoint)
     else:
         provider = RandomFeatureProvider(int(f.get("embedding_dim", 768)))
 

@@ -139,12 +139,30 @@ def bin_gaussians(
     g = jax.lax.cummax(seed)
     valid = pair_idx < jnp.minimum(total, pair_budget)
     g_safe = jnp.clip(g, 0, n - 1)
-    # ONE row gather instead of five scalar gathers (same scalar-core issue
-    # at pair scale).
-    table = jnp.stack([offsets, x0d, wd, y0d, idx_d], axis=-1)  # [n, 5]
-    rows = table[g_safe]
-    local = pair_idx - rows[:, 0]
-    w = rows[:, 2]
+    # Pair-slot owner offsets WITHOUT a gather: offsets are non-decreasing
+    # in depth order (offsets[j+1] = offsets[j] + counts[j]), and seed >= 0
+    # exactly at range-start positions, so the same cummax trick recovers
+    # the owner's start index from the slot index itself.
+    off_col = jax.lax.cummax(jnp.where(seed >= 0, pair_idx, -1))
+    # Rect data bit-packed into ONE s32 (x0:10 | y0:10 | w-1:10): the row
+    # gather was the pair stream's widest stretch (a (P,5) gather + its
+    # column-split loop fusion measured 3.5 ms at P=655k); two columns
+    # (packed rect + original id) cut the gathered and split bytes 60%.
+    # Bit budget: tile grids are <= 1024 per axis (16x32-px tiles => 16k x
+    # 32k px images); x0/y0 clipped to ntx-1/nty-1 only affects zero-count
+    # gaussians (never an owner of a valid pair).
+    assert ntx <= 1024 and nty <= 1024, "tile grid exceeds 10-bit packing"
+    packed_rect = (
+        (jnp.minimum(x0d, ntx - 1) << 20)
+        | (jnp.minimum(y0d, nty - 1) << 10)
+        | (wd - 1)
+    )
+    rows = jnp.stack([packed_rect, idx_d], axis=-1)[g_safe]  # [P, 2]
+    pr = rows[:, 0]
+    x0p = pr >> 20
+    y0p = (pr >> 10) & 1023
+    w = (pr & 1023) + 1
+    local = pair_idx - off_col
     # local // w and local % w via f32: s32 divide has no VPU lowering (the
     # int version measured 2.4 ms serialized at P=655k). Exact because
     # 0 <= local < rect area (<= ~2k) and 1 <= w <= grid_w (<= ~80): both are
@@ -153,11 +171,11 @@ def bin_gaussians(
     # Clamp local first: overflow slots carry garbage (masked out below).
     local_f = jnp.clip(local, 0, 1 << 22).astype(jnp.float32)
     q = jnp.floor(local_f / w.astype(jnp.float32)).astype(jnp.int32)
-    tx = rows[:, 1] + (local - q * w)
-    ty = rows[:, 3] + q
+    tx = x0p + (local - q * w)
+    ty = y0p + q
     tile = ty * ntx + tx
     tile = jnp.where(valid, tile, num_tiles)
-    g_key = jnp.where(valid, rows[:, 4], n)
+    g_key = jnp.where(valid, rows[:, 1], n)
 
     # Dense owner ranks over pair-emitting gaussians: zero-count gaussians
     # sort to the END of the depth order (depth_key = inf), so the emitting

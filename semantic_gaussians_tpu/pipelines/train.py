@@ -15,6 +15,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.densify import (
     DensifyConfig,
@@ -203,6 +204,16 @@ def grow_capacity(state: TrainState, factor: int = 2) -> TrainState:
     )
 
 
+def tuned_pair_budget(pairs: int) -> int:
+    """Static pair budget for a measured pair count: 1.25x headroom rounded
+    up to quarter-pow2 granules (recompiles stay rare — at most 4 distinct
+    budgets per doubling of the live pair count — while the pair-stream ops,
+    all budget-sized, keep <=56% slack vs pow2 buckets' 100%)."""
+    want = max(8192, int(pairs * 1.25))
+    granule = max(8192, 1 << max(int(np.log2(want)) - 2, 0))
+    return -(-want // granule) * granule
+
+
 def train_loop(
     state: TrainState,
     cameras: list,
@@ -223,8 +234,6 @@ def train_loop(
     densification_interval in [densify_from, densify_until], opacity reset
     every opacity_reset_interval.
     """
-    import numpy as np
-
     from ..utils.logging_utils import StepTimer, TBLogger
 
     iters = num_iters or cfg.iterations
@@ -234,9 +243,9 @@ def train_loop(
     history = []
     tb = TBLogger(tb_dir) if tb_dir else None
     timer = StepTimer()
-    # Adaptive static pair budget: bucketed to powers of two so recompiles
-    # are rare; grows on overflow, shrinks when <30% utilized. pair_budget
-    # given explicitly disables adaptation.
+    # Adaptive static pair budget: quarter-pow2 granules (tuned_pair_budget)
+    # keep recompiles rare; doubles on overflow, resizes when utilization
+    # drifts. pair_budget given explicitly disables adaptation.
     adaptive = pair_budget is None
     pending_check = None
     if adaptive:
@@ -270,11 +279,8 @@ def train_loop(
                 if int(ov_arr) > 0:
                     pair_budget *= 2
                 elif chk_it % 50 == 0:
-                    pairs = int(pairs_arr)
-                    want = max(
-                        8192, 1 << int(np.ceil(np.log2(max(pairs, 1) * 1.5)))
-                    )
-                    if want > pair_budget or want < pair_budget // 2:
+                    want = tuned_pair_budget(int(pairs_arr))
+                    if want > pair_budget or want < pair_budget * 2 // 3:
                         pair_budget = want
             pending_check = (metrics["overflow"], metrics["num_pairs"], it)
         if tb and it % 10 == 0:

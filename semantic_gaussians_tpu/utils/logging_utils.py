@@ -87,13 +87,27 @@ def profile_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def top_ops(trace_dir: str, k: int = 20, steps: int = 1):
-    """[(total_ms_per_step, op_name)] from a captured trace directory."""
+def top_ops(trace_dir: str, k: int = 20, steps: int = 1, device_only: bool = True):
+    """[(total_ms_per_step, op_name)] from a captured trace directory.
+
+    device_only keeps events on TPU/device pids (XLA op timeline) and drops
+    host Python/runtime threads, which otherwise drown the listing in
+    tracing/compile frames."""
     totals = {}
     for f in glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True):
         data = json.load(gzip.open(f))
-        for ev in data.get("traceEvents", []):
+        events = data.get("traceEvents", [])
+        dev_pids = {
+            ev.get("pid")
+            for ev in events
+            if ev.get("ph") == "M"
+            and ev.get("name") == "process_name"
+            and "TPU" in str(ev.get("args", {}).get("name", ""))
+        }
+        for ev in events:
             if ev.get("ph") == "X" and "dur" in ev:
+                if device_only and dev_pids and ev.get("pid") not in dev_pids:
+                    continue
                 name = ev.get("name", "?")
                 totals[name] = totals.get(name, 0) + ev["dur"]
     out = sorted(

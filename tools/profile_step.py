@@ -47,8 +47,12 @@ def main():
         out = render(cam, params, alive=alive, pair_budget=budget)
         return jnp.mean((out["render"] - target) ** 2)
 
-    grad = jax.jit(jax.grad(loss))
-    jax.block_until_ready(grad(params))  # compile outside the trace
+    @jax.jit
+    def step(p):
+        g = jax.grad(loss)(p)
+        return jax.tree.map(lambda x, y: x - 1e-30 * y, p, g)
+
+    jax.block_until_ready(step(params))  # compile outside the trace
 
     steps = 5
     tdir = "/tmp/sgtpu_trace"
@@ -56,8 +60,7 @@ def main():
     with profile_trace(tdir):
         out = params
         for _ in range(steps):
-            g = grad(out)
-            out = jax.tree.map(lambda x, y: x - 1e-30 * y, out, g)
+            out = step(out)
         jax.block_until_ready(out)
 
     rows = top_ops(tdir, k=45, steps=steps)
