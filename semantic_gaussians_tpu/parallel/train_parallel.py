@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.densify import add_stats, add_stats_prereduced
-from ..core.optimizer import adam_update, lr_tree
+from ..core.optimizer import AdamState, adam_update, lr_tree
 from ..pipelines.train import TrainConfig, TrainState
 from ..renderer import render
 from ..utils.camera import Camera
@@ -235,6 +235,160 @@ def make_hybrid_train_step(
         return new_state, metrics
 
     return jax.jit(step)
+
+
+def make_band_train_step_zero(
+    mesh: Mesh,
+    cfg: TrainConfig,
+    active_sh_degree: int,
+    img_height: int,
+    img_width: int,
+    pair_budget: Optional[int] = None,
+    axis: str = "data",
+):
+    """Band-sharded step with REDUCE-SCATTERED gradients and a sharded
+    optimizer (the ZeRO recipe on the north-star schedule).
+
+    vs make_band_train_step (full psum of every grad leaf + replicated
+    Adam): each device backpropagates only its own tile band (the loss is
+    computed on all-gathered band tiles, whose shard_map transpose delivers
+    exactly this band's slice of the image cotangent), producing LOCAL
+    partial parameter grads; each leaf is then `psum_scatter`'d so a device
+    reduces and keeps a 1/ndev Gaussian shard, Adam updates that shard, and
+    the new params are all-gathered for the next step.
+
+    Why this is the overlap design (BASELINE.md north star "grad psum
+    overlapped with the backward composite pass"): the per-leaf
+    reduce-scatters are independent dataflow from the other leaves'
+    backward chains (means/scales/quats/opacity/SH split after the shared
+    segment-sum), so XLA's latency-hiding scheduler starts leaf k's
+    collective while leaf k+1's projection-backward still computes, and a
+    reduce_scatter moves HALF the bytes of the all-reduce it replaces.
+    Adam moments also shard ndev-ways (2x param memory at 10M+ Gaussians).
+    Numerical equivalence with the replicated-Adam band step is asserted in
+    tests/test_parallel.py on an 8-device CPU mesh.
+    """
+    from .render_sharded import band_render_core
+    from ..ops.composite_pallas import CompositeConfig
+    from ..ops.rasterize import DEFAULT_TILE, _untile
+    from ..ops.binning import default_pair_budget
+    from ..pipelines.train import _edge_crop
+
+    th, tw = DEFAULT_TILE
+    ndev = mesh.shape[axis]
+    grid_w = -(-img_width // tw)
+    grid_h = -(-img_height // th)
+    band_rows = -(-grid_h // ndev)
+    crop = _edge_crop(img_height, img_width, cfg.cut_edge)
+    full_cfg = CompositeConfig(
+        tile_h=th, tile_w=tw, grid_h=ndev * band_rows, grid_w=grid_w,
+        num_channels=3, interpret=jax.default_backend() == "cpu",
+    )
+
+    def device_step(params, alive, mu, nu, count, cam: Camera, bg):
+        assert params.capacity % ndev == 0, "capacity must divide the mesh"
+        blk = params.capacity // ndev
+        band = jax.lax.axis_index(axis)
+        budget = pair_budget or max(
+            8192,
+            -(-default_pair_budget(params.capacity) * 2 // ndev)
+            // 8192 * 8192,
+        )
+        ccfg = CompositeConfig(
+            tile_h=th, tile_w=tw, grid_h=band_rows, grid_w=grid_w,
+            num_channels=3, interpret=full_cfg.interpret,
+        )
+        offset0 = jnp.zeros((params.capacity, 2), jnp.float32)
+
+        def loss_fn(p, offset):
+            color, _d, _t, _n, overflow, radii = band_render_core(
+                cam, p, alive, None, bg, offset,
+                band, band_rows, (th, tw), grid_w, budget, ccfg,
+                active_sh_degree,
+            )
+            # all_gather the band tiles and compute the loss REPLICATED:
+            # the all_gather's transpose is a psum_scatter handing each
+            # band exactly its own slice of the image cotangent, so the
+            # grads below are this band's PARTIAL contribution (no implicit
+            # full psum anywhere in the backward).
+            tiles = jax.lax.all_gather(color, axis, axis=0, tiled=True)
+            img = _untile(tiles, full_cfg, img_height, img_width)
+            pred, gt = img, cam.image
+            if crop is not None:
+                ch, cw = crop
+                pred = pred[ch : img_height - ch, cw : img_width - cw]
+                gt = gt[ch : img_height - ch, cw : img_width - cw]
+            loss = photometric_loss(pred, gt, cfg.lambda_dssim)
+            # Every device computes this same replicated loss, so the
+            # all_gather's transpose (a psum_scatter) SUMS ndev identical
+            # image cotangents; pre-scaling by 1/ndev makes the band
+            # cotangents — and hence the partial grads — exact.
+            return loss / ndev, (img, overflow[0], radii[0])
+
+        (loss, (img, overflow, radii)), (gparams, goffset) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                params, offset0
+            )
+        )
+
+        # Per-leaf reduce_scatter: reduce + keep this device's Gaussian shard.
+        gshard = jax.tree.map(
+            lambda g: jax.lax.psum_scatter(
+                g, axis, scatter_dimension=0, tiled=True
+            ),
+            gparams,
+        )
+        pshard = jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, band * blk, blk, 0),
+            params,
+        )
+        lrs = lr_tree(cfg.hyper, cfg.spatial_lr_scale, count)
+        new_pshard, new_adam = adam_update(
+            gshard, AdamState(count=count, mu=mu, nu=nu), pshard, lrs,
+            cfg.hyper,
+        )
+        new_params = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+            new_pshard,
+        )
+
+        # Densify stats need the FULL mean2D grad (each pixel lives in
+        # exactly one band): plain psum of the (capacity, 2) offset grad.
+        goffset = jax.lax.psum(goffset, axis)
+        overflow = jax.lax.psum(overflow, axis)
+        metrics = dict(
+            loss=loss * ndev, psnr=psnr(img, cam.image), overflow=overflow
+        )
+        return (
+            new_params, new_adam.mu, new_adam.nu, new_adam.count,
+            goffset, radii, metrics,
+        )
+
+    sharded = jax.shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(), P(axis), P(axis), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: TrainState, cam: Camera, bg):
+        new_params, mu, nu, count, goffset, radii, metrics = sharded(
+            state.params, state.alive, state.adam.mu, state.adam.nu,
+            state.adam.count, cam, bg,
+        )
+        dstate = add_stats(state.dstate, goffset, radii, cam.width, cam.height)
+        new_state = dataclasses.replace(
+            state,
+            params=new_params,
+            adam=AdamState(count=count, mu=mu, nu=nu),
+            dstate=dstate,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step
 
 
 def make_band_train_step(

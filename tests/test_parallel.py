@@ -298,3 +298,56 @@ def test_band_train_step_densify_stats_match_single_chip():
     trig_b = (acc_b / np.maximum(np.asarray(state_b.dstate.denom), 1)) > dcfg.grad_threshold
     trig_1 = (acc_1 / np.maximum(np.asarray(state_1.dstate.denom), 1)) > dcfg.grad_threshold
     np.testing.assert_array_equal(trig_b, trig_1)
+
+
+@pytest.mark.slow
+def test_band_zero_step_matches_replicated_band_step():
+    """The reduce-scatter + sharded-Adam band step (ZeRO recipe) must march
+    in lockstep with the replicated-Adam band step: same params, same adam
+    moments (modulo cross-band summation order), same densify stats."""
+    from semantic_gaussians_tpu.parallel.train_parallel import (
+        make_band_train_step,
+        make_band_train_step_zero,
+    )
+
+    params, alive = _scene(n=180, seed=3)
+    rng = np.random.default_rng(7)
+    img = rng.uniform(size=(64, 128, 3)).astype(np.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.9, 128, 64, image=img)
+    mesh = make_mesh(8)
+    cfg = TrainConfig()
+    bg = jnp.zeros(3)
+
+    state_z = init_train_state(params, alive)
+    state_b = init_train_state(params, alive)
+    zero_step = make_band_train_step_zero(
+        mesh, cfg, active_sh_degree=1, img_height=64, img_width=128
+    )
+    band_step = make_band_train_step(mesh, cfg, active_sh_degree=1)
+    for _ in range(3):
+        state_z, mz = zero_step(state_z, cam, bg)
+        state_b, mb = band_step(state_b, cam, bg)
+
+    np.testing.assert_allclose(float(mz["loss"]), float(mb["loss"]), rtol=1e-5)
+    assert int(state_z.adam.count) == 3 and int(state_z.step) == 3
+    for a, b in zip(
+        jax.tree.leaves(state_z.params), jax.tree.leaves(state_b.params)
+    ):
+        scale = np.abs(np.asarray(b)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-4
+        )
+    for a, b in zip(
+        jax.tree.leaves(state_z.adam.mu), jax.tree.leaves(state_b.adam.mu)
+    ):
+        scale = np.abs(np.asarray(b)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-4
+        )
+    acc_z = np.asarray(state_z.dstate.xyz_grad_accum)
+    acc_b = np.asarray(state_b.dstate.xyz_grad_accum)
+    scale = acc_b.max() + 1e-12
+    np.testing.assert_allclose(acc_z / scale, acc_b / scale, atol=2e-3)
+    np.testing.assert_array_equal(
+        np.asarray(state_z.dstate.denom), np.asarray(state_b.dstate.denom)
+    )
