@@ -71,6 +71,15 @@ def main():
         from semantic_gaussians_tpu.models.lseg import LSegPredictor
 
         provider = LSegPredictor(checkpoint_path=f.lseg_checkpoint)
+    elif model_2d == "samclip":
+        # Native JAX SAM + CLIP towers (reference fusion.py model_2d ==
+        # "samclip" -> SAMCLIP(sam_path, "ViT-L/14@336px")).
+        from semantic_gaussians_tpu.models.samclip import SAMCLIPPredictor
+
+        provider = SAMCLIPPredictor(
+            sam_checkpoint=f.sam_checkpoint,
+            clip_checkpoint=f.clip_checkpoint,
+        )
     else:
         provider = RandomFeatureProvider(int(f.get("embedding_dim", 768)))
 

@@ -1,0 +1,404 @@
+"""SAM + automask + CLIP-vision + SAMCLIP tests (tiny configs, CPU)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from semantic_gaussians_tpu.models.sam import (
+    Sam,
+    SamConfig,
+    VitDetAttention,
+    get_rel_pos,
+    params_from_sam_state_dict,
+    preprocess_image,
+    window_partition,
+    window_unpartition,
+)
+from semantic_gaussians_tpu.models.automask import (
+    AutoMaskConfig,
+    SamAutoMask,
+    build_point_grid,
+    greedy_nms,
+    masks_to_boxes,
+    remove_small_regions,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_window_partition_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 7, 9, 4)).astype(np.float32))
+    wins, pad_hw = window_partition(x, 3)
+    assert wins.shape == (2 * 3 * 3, 3, 3, 4)
+    back = window_unpartition(wins, 3, pad_hw, (7, 9))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_get_rel_pos_matches_loop_oracle(rng):
+    q, k, c = 5, 5, 8
+    table = jnp.asarray(rng.normal(size=(2 * q - 1, c)).astype(np.float32))
+    got = np.asarray(get_rel_pos(q, k, table))
+    for i in range(q):
+        for j in range(k):
+            np.testing.assert_array_equal(
+                got[i, j], np.asarray(table)[i - j + k - 1]
+            )
+
+
+def test_vitdet_attention_matches_torch_mha_when_relpos_zero(rng):
+    """With zero rel-pos tables the grid attention must equal a standard
+    torch MultiheadAttention with the same packed qkv weights."""
+    import torch
+
+    dim, heads, h, w = 16, 2, 3, 4
+    x = rng.normal(size=(1, h, w, dim)).astype(np.float32)
+    attn = VitDetAttention(dim, heads)
+    var = attn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(attn.apply(var, jnp.asarray(x)))
+
+    p = var["params"]
+    wq = np.asarray(p["qkv"]["kernel"])  # (dim, 3dim)
+    bq = np.asarray(p["qkv"]["bias"])
+    wo = np.asarray(p["proj"]["kernel"])
+    bo = np.asarray(p["proj"]["bias"])
+    tx = torch.from_numpy(x.reshape(1, h * w, dim))
+    t_out, _ = torch.nn.functional.multi_head_attention_forward(
+        tx.transpose(0, 1), tx.transpose(0, 1), tx.transpose(0, 1),
+        dim, heads,
+        torch.from_numpy(wq.T.copy()), torch.from_numpy(bq),
+        None, None, False, 0.0,
+        torch.from_numpy(wo.T.copy()), torch.from_numpy(bo),
+    )
+    want = t_out.transpose(0, 1).detach().numpy().reshape(1, h, w, dim)
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+def test_tiny_sam_shapes_and_finiteness(rng):
+    cfg = SamConfig.tiny()
+    model = Sam(cfg)
+    x = jnp.asarray(rng.normal(size=(1, cfg.img_size, cfg.img_size, 3)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(0, cfg.img_size, (4, 1, 2)).astype(np.float32))
+    lbl = jnp.ones((4, 1), jnp.int32)
+    var = model.init(jax.random.PRNGKey(1), x, pts, lbl)
+    masks, iou = model.apply(var, x, pts, lbl)
+    g = cfg.grid
+    assert masks.shape == (4, 4, 4 * g, 4 * g)
+    assert iou.shape == (4, 4)
+    assert np.isfinite(np.asarray(masks)).all()
+    assert np.isfinite(np.asarray(iou)).all()
+
+
+def _fake_sam_state_dict(cfg: SamConfig, rng):
+    """Synthetic torch-layout SAM state dict for the tiny config."""
+    import torch
+
+    d = {}
+
+    def t(*shape):
+        return torch.from_numpy(rng.normal(0, 0.05, shape).astype(np.float32))
+
+    e, dd = cfg.embed_dim, cfg.decoder_dim
+    d["image_encoder.patch_embed.proj.weight"] = t(e, 3, cfg.patch, cfg.patch)
+    d["image_encoder.patch_embed.proj.bias"] = t(e)
+    d["image_encoder.pos_embed"] = t(1, cfg.grid, cfg.grid, e)
+    for i in range(cfg.depth):
+        p = f"image_encoder.blocks.{i}"
+        win = cfg.grid if i in cfg.global_blocks else cfg.window
+        d[p + ".norm1.weight"] = t(e)
+        d[p + ".norm1.bias"] = t(e)
+        d[p + ".norm2.weight"] = t(e)
+        d[p + ".norm2.bias"] = t(e)
+        d[p + ".attn.qkv.weight"] = t(3 * e, e)
+        d[p + ".attn.qkv.bias"] = t(3 * e)
+        d[p + ".attn.proj.weight"] = t(e, e)
+        d[p + ".attn.proj.bias"] = t(e)
+        hd = e // cfg.num_heads
+        d[p + ".attn.rel_pos_h"] = t(2 * win - 1, hd)
+        d[p + ".attn.rel_pos_w"] = t(2 * win - 1, hd)
+        d[p + ".mlp.lin1.weight"] = t(4 * e, e)
+        d[p + ".mlp.lin1.bias"] = t(4 * e)
+        d[p + ".mlp.lin2.weight"] = t(e, 4 * e)
+        d[p + ".mlp.lin2.bias"] = t(e)
+    d["image_encoder.neck.0.weight"] = t(cfg.out_chans, e, 1, 1)
+    d["image_encoder.neck.1.weight"] = t(cfg.out_chans)
+    d["image_encoder.neck.1.bias"] = t(cfg.out_chans)
+    d["image_encoder.neck.2.weight"] = t(cfg.out_chans, cfg.out_chans, 3, 3)
+    d["image_encoder.neck.3.weight"] = t(cfg.out_chans)
+    d["image_encoder.neck.3.bias"] = t(cfg.out_chans)
+
+    d["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = t(2, dd // 2)
+    for i in range(4):
+        d[f"prompt_encoder.point_embeddings.{i}.weight"] = t(1, dd)
+    d["prompt_encoder.not_a_point_embed.weight"] = t(1, dd)
+    d["prompt_encoder.no_mask_embed.weight"] = t(1, dd)
+
+    def attn(p, down=1):
+        di = dd // down
+        d[p + ".q_proj.weight"] = t(di, dd)
+        d[p + ".q_proj.bias"] = t(di)
+        d[p + ".k_proj.weight"] = t(di, dd)
+        d[p + ".k_proj.bias"] = t(di)
+        d[p + ".v_proj.weight"] = t(di, dd)
+        d[p + ".v_proj.bias"] = t(di)
+        d[p + ".out_proj.weight"] = t(dd, di)
+        d[p + ".out_proj.bias"] = t(dd)
+
+    for i in range(2):
+        p = f"mask_decoder.transformer.layers.{i}"
+        attn(p + ".self_attn")
+        attn(p + ".cross_attn_token_to_image", 2)
+        attn(p + ".cross_attn_image_to_token", 2)
+        for n in range(1, 5):
+            d[p + f".norm{n}.weight"] = t(dd)
+            d[p + f".norm{n}.bias"] = t(dd)
+        d[p + ".mlp.lin1.weight"] = t(cfg.decoder_mlp, dd)
+        d[p + ".mlp.lin1.bias"] = t(cfg.decoder_mlp)
+        d[p + ".mlp.lin2.weight"] = t(dd, cfg.decoder_mlp)
+        d[p + ".mlp.lin2.bias"] = t(dd)
+    attn("mask_decoder.transformer.final_attn_token_to_image", 2)
+    d["mask_decoder.transformer.norm_final_attn.weight"] = t(dd)
+    d["mask_decoder.transformer.norm_final_attn.bias"] = t(dd)
+    d["mask_decoder.iou_token.weight"] = t(1, dd)
+    d["mask_decoder.mask_tokens.weight"] = t(1 + cfg.num_multimask, dd)
+    d["mask_decoder.output_upscaling.0.weight"] = t(dd, dd // 4, 2, 2)
+    d["mask_decoder.output_upscaling.0.bias"] = t(dd // 4)
+    d["mask_decoder.output_upscaling.1.weight"] = t(dd // 4)
+    d["mask_decoder.output_upscaling.1.bias"] = t(dd // 4)
+    d["mask_decoder.output_upscaling.3.weight"] = t(dd // 4, dd // 8, 2, 2)
+    d["mask_decoder.output_upscaling.3.bias"] = t(dd // 8)
+    for i in range(1 + cfg.num_multimask):
+        p = f"mask_decoder.output_hypernetworks_mlps.{i}.layers"
+        d[p + ".0.weight"] = t(dd, dd)
+        d[p + ".0.bias"] = t(dd)
+        d[p + ".1.weight"] = t(dd, dd)
+        d[p + ".1.bias"] = t(dd)
+        d[p + ".2.weight"] = t(dd // 8, dd)
+        d[p + ".2.bias"] = t(dd // 8)
+    p = "mask_decoder.iou_prediction_head.layers"
+    d[p + ".0.weight"] = t(dd, dd)
+    d[p + ".0.bias"] = t(dd)
+    d[p + ".1.weight"] = t(dd, dd)
+    d[p + ".1.bias"] = t(dd)
+    d[p + ".2.weight"] = t(1 + cfg.num_multimask, dd)
+    d[p + ".2.bias"] = t(1 + cfg.num_multimask)
+    return d
+
+
+def test_sam_converter_structure_matches_init(rng):
+    """Converted params must have EXACTLY the init tree (names + shapes),
+    and the converted model must run."""
+    cfg = SamConfig.tiny()
+    sd = _fake_sam_state_dict(cfg, rng)
+    var = params_from_sam_state_dict(sd, cfg)
+
+    model = Sam(cfg)
+    x = jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+    pts = jnp.zeros((2, 1, 2))
+    lbl = jnp.ones((2, 1), jnp.int32)
+    ref = model.init(jax.random.PRNGKey(0), x, pts, lbl)
+
+    ref_shapes = jax.tree.map(lambda a: a.shape, ref)
+    got_shapes = jax.tree.map(lambda a: np.asarray(a).shape, var)
+    assert jax.tree.structure(ref_shapes) == jax.tree.structure(got_shapes)
+    assert jax.tree.leaves(ref_shapes) == jax.tree.leaves(got_shapes)
+
+    masks, iou = model.apply(var, x, pts, lbl)
+    assert np.isfinite(np.asarray(masks)).all()
+    # spot-check a mapping: qkv dense kernel is the torch weight transposed
+    np.testing.assert_array_equal(
+        np.asarray(var["params"]["image_encoder"]["block0"]["attn"]["qkv"]["kernel"]),
+        sd["image_encoder.blocks.0.attn.qkv.weight"].numpy().T,
+    )
+
+
+def test_masks_to_boxes_oracle(rng):
+    m = np.zeros((3, 10, 12), bool)
+    m[0, 2:5, 3:9] = True
+    m[1, 0:1, 0:1] = True
+    boxes = np.asarray(masks_to_boxes(jnp.asarray(m)))
+    np.testing.assert_array_equal(boxes[0], [3, 2, 9, 5])
+    np.testing.assert_array_equal(boxes[1], [0, 0, 1, 1])
+    np.testing.assert_array_equal(boxes[2], [0, 0, 0, 0])
+
+
+def test_greedy_nms_bruteforce(rng):
+    boxes = rng.uniform(0, 50, (30, 2)).astype(np.float32)
+    boxes = np.concatenate([boxes, boxes + rng.uniform(5, 25, (30, 2))], 1)
+    scores = rng.uniform(size=30).astype(np.float32)
+    keep = greedy_nms(boxes, scores, 0.5)
+    # kept boxes must be mutually below-threshold; every dropped box must
+    # overlap a kept higher-scoring box
+    def iou(a, b):
+        x1, y1 = np.maximum(a[:2], b[:2])
+        x2, y2 = np.minimum(a[2:], b[2:])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        area = lambda z: (z[2] - z[0]) * (z[3] - z[1])
+        return inter / (area(a) + area(b) - inter)
+
+    kept = set(keep.tolist())
+    for i in kept:
+        for j in kept:
+            if i < j:
+                assert iou(boxes[i], boxes[j]) <= 0.5 + 1e-6
+    for i in range(30):
+        if i not in kept:
+            assert any(
+                iou(boxes[i], boxes[j]) > 0.5 and scores[j] >= scores[i]
+                for j in kept
+            )
+
+
+def test_remove_small_regions():
+    m = np.zeros((20, 20), bool)
+    m[2:12, 2:12] = True
+    m[5, 5] = False  # 1-px hole
+    m[16, 16] = True  # 1-px island
+    out, ch = remove_small_regions(m, 4, "holes")
+    assert ch and out[5, 5]
+    out2, ch2 = remove_small_regions(out, 4, "islands")
+    assert ch2 and not out2[16, 16]
+    assert out2[3, 3]
+
+
+def test_point_grid():
+    g = build_point_grid(4)
+    assert g.shape == (16, 2)
+    assert abs(g[0, 0] - 1 / 8) < 1e-6 and abs(g[-1, 1] - 7 / 8) < 1e-6
+
+
+@pytest.mark.slow
+def test_tiny_automask_generates_wellformed(rng):
+    cfg = SamConfig.tiny()
+    model = Sam(cfg)
+    x = jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+    var = model.init(
+        jax.random.PRNGKey(2), x, jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32)
+    )
+    amg = AutoMaskConfig(
+        points_per_side=3, points_per_batch=4, pred_iou_thresh=-1e9,
+        stability_score_thresh=-1.0, min_mask_region_area=0,
+    )
+    gen = SamAutoMask(cfg, var, amg)
+    img = (rng.uniform(size=(48, 56, 3)) * 255).astype(np.uint8)
+    anns, s, m, l = gen.generate(img)
+    assert len(anns) >= 1
+    for a in anns:
+        seg = a["segmentation"]
+        assert seg.shape == (48, 56) and seg.dtype == bool
+        assert a["area"] == int(seg.sum())
+        x0, y0, bw, bh = a["bbox"]
+        ys, xs = np.nonzero(seg)
+        assert x0 == xs.min() and y0 == ys.min()
+        assert x0 + bw == xs.max() + 1 and y0 + bh == ys.max() + 1
+
+
+def test_clip_vision_matches_torch_attention(rng):
+    """The vision block's attention must equal torch MHA with packed qkv."""
+    import torch
+
+    from semantic_gaussians_tpu.models.clip_vision import SelfAttention
+
+    dim, heads, t = 16, 2, 5
+    x = rng.normal(size=(1, t, dim)).astype(np.float32)
+    attn = SelfAttention(dim, heads)
+    var = attn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(attn.apply(var, jnp.asarray(x)))
+    p = var["params"]
+    tx = torch.from_numpy(x)
+    t_out, _ = torch.nn.functional.multi_head_attention_forward(
+        tx.transpose(0, 1), tx.transpose(0, 1), tx.transpose(0, 1),
+        dim, heads,
+        torch.from_numpy(np.asarray(p["qkv"]["kernel"]).T.copy()),
+        torch.from_numpy(np.asarray(p["qkv"]["bias"])),
+        None, None, False, 0.0,
+        torch.from_numpy(np.asarray(p["out"]["kernel"]).T.copy()),
+        torch.from_numpy(np.asarray(p["out"]["bias"])),
+    )
+    want = t_out.transpose(0, 1).detach().numpy()
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+def test_clip_vision_converter_roundtrip(rng):
+    """OpenAI-layout synthetic visual.* state dict -> flax tree with the
+    init structure; model runs."""
+    import torch
+
+    from semantic_gaussians_tpu.models.clip_vision import (
+        CLIPVisionTower,
+        params_from_torch_state_dict,
+    )
+
+    tower = CLIPVisionTower(
+        image_size=16, patch=8, width=12, layers=2, heads=2, embed_dim=6
+    )
+
+    def t(*shape):
+        return torch.from_numpy(rng.normal(0, 0.05, shape).astype(np.float32))
+
+    sd = {
+        "visual.conv1.weight": t(12, 3, 8, 8),
+        "visual.class_embedding": t(12),
+        "visual.positional_embedding": t(5, 12),
+        "visual.ln_pre.weight": t(12), "visual.ln_pre.bias": t(12),
+        "visual.ln_post.weight": t(12), "visual.ln_post.bias": t(12),
+        "visual.proj": t(12, 6),
+    }
+    for i in range(2):
+        p = f"visual.transformer.resblocks.{i}."
+        sd[p + "ln_1.weight"] = t(12); sd[p + "ln_1.bias"] = t(12)
+        sd[p + "ln_2.weight"] = t(12); sd[p + "ln_2.bias"] = t(12)
+        sd[p + "attn.in_proj_weight"] = t(36, 12)
+        sd[p + "attn.in_proj_bias"] = t(36)
+        sd[p + "attn.out_proj.weight"] = t(12, 12)
+        sd[p + "attn.out_proj.bias"] = t(12)
+        sd[p + "mlp.c_fc.weight"] = t(48, 12)
+        sd[p + "mlp.c_fc.bias"] = t(48)
+        sd[p + "mlp.c_proj.weight"] = t(12, 48)
+        sd[p + "mlp.c_proj.bias"] = t(12)
+    var = params_from_torch_state_dict(sd, tower)
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+    ref = tower.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(ref) == jax.tree.structure(var)
+    out = tower.apply(var, x)
+    assert out.shape == (2, 6)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.slow
+def test_samclip_predictor_end_to_end(rng):
+    """Tiny SAM + tiny CLIP tower -> per-pixel normalized feature map."""
+    from semantic_gaussians_tpu.models.clip_vision import (
+        CLIPVisionTower,
+        JaxCLIPImageEncoder,
+    )
+    from semantic_gaussians_tpu.models.samclip import SAMCLIPPredictor
+
+    cfg = SamConfig.tiny()
+    model = Sam(cfg)
+    x = jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+    sam_var = model.init(
+        jax.random.PRNGKey(3), x, jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32)
+    )
+    tower = CLIPVisionTower(
+        image_size=16, patch=8, width=12, layers=1, heads=2, embed_dim=6
+    )
+    cvar = tower.init(jax.random.PRNGKey(4), jnp.zeros((1, 16, 16, 3)))
+    enc = JaxCLIPImageEncoder(tower=tower, params=cvar)
+    pred = SAMCLIPPredictor(
+        sam_cfg=cfg, sam_variables=sam_var, clip_encoder=enc,
+        amg=AutoMaskConfig(
+            points_per_side=3, points_per_batch=4, pred_iou_thresh=-1e9,
+            stability_score_thresh=-1.0, min_mask_region_area=0,
+        ),
+    )
+    img = (rng.uniform(size=(40, 52, 3)) * 255).astype(np.uint8)
+    feats = pred.extract_image_feature(img, img_size=(32, 48))
+    assert feats.shape == (32, 48, 6)
+    norms = np.linalg.norm(feats, axis=-1)
+    covered = norms > 0.5
+    assert covered.any()
+    np.testing.assert_allclose(norms[covered], 1.0, atol=1e-4)
