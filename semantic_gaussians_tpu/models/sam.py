@@ -270,6 +270,22 @@ class PromptEncoder(nn.Module):
         grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
         return self.pe_encode(grid)  # (g, g, D)
 
+    def embed_boxes(self, boxes):
+        """boxes: (B, 4) xyxy in the ENCODER's input frame -> (B, 2, D)
+        corner embeddings (prompt_encoder.py _embed_boxes: +0.5, PE, then
+        point_embeddings[2]/[3] on the two corners)."""
+        c = self.cfg
+        coords = (boxes.reshape(-1, 2, 2) + 0.5) / c.img_size
+        pe = self.pe_encode(coords)
+        corner = jnp.stack(
+            [self.point_embeddings[2], self.point_embeddings[3]], axis=0
+        )
+        sparse = pe + corner[None]
+        dense = jnp.broadcast_to(
+            self.no_mask, (boxes.shape[0], c.grid, c.grid, c.decoder_dim)
+        )
+        return sparse, dense
+
     def __call__(self, points, labels):
         """points: (B, P, 2) pixel coords in the ENCODER's input frame;
         labels: (B, P) in {-1 pad, 0 negative, 1 positive}."""
@@ -465,6 +481,15 @@ class Sam(nn.Module):
         sparse, dense = self.prompt_encoder(points, labels)
         image_pe = self.prompt_encoder.dense_pe()
         return self.mask_decoder(image_emb, image_pe, sparse, dense)
+
+    def predict_boxes(self, image_emb, boxes):
+        """Box-prompted single-mask prediction (multimask_output=False:
+        token 0). boxes (B, 4) encoder-frame xyxy. Returns (masks
+        (B, 4g, 4g) logits, iou (B,))."""
+        sparse, dense = self.prompt_encoder.embed_boxes(boxes)
+        image_pe = self.prompt_encoder.dense_pe()
+        masks, iou = self.mask_decoder(image_emb, image_pe, sparse, dense)
+        return masks[:, 0], iou[:, 0]
 
     def __call__(self, x, points, labels):
         emb = self.encode_image(x)

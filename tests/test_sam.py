@@ -402,3 +402,76 @@ def test_samclip_predictor_end_to_end(rng):
     covered = norms > 0.5
     assert covered.any()
     np.testing.assert_allclose(norms[covered], 1.0, atol=1e-4)
+
+
+class _FakeTextEncoder:
+    def __init__(self, dim=6, seed=0):
+        self.dim = dim
+        self.rng = np.random.default_rng(seed)
+
+    def extract_text_feature(self, labelset):
+        v = self.rng.normal(size=(len(labelset), self.dim)).astype(np.float32)
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+@pytest.mark.slow
+def test_vlpart_predictor_end_to_end(rng):
+    """Stub detector -> native SAM box refinement -> score-weighted text map."""
+    from semantic_gaussians_tpu.models.vlpart import VLPartPredictor
+
+    cfg = SamConfig.tiny()
+    model = Sam(cfg)
+    x = jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+    sam_var = model.init(
+        jax.random.PRNGKey(5), x, jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32)
+    )
+
+    def detector(image):
+        h, w = image.shape[:2]
+        boxes = np.array(
+            [[2, 2, w * 0.6, h * 0.6], [w * 0.3, h * 0.3, w - 2, h - 2]],
+            np.float32,
+        )
+        return boxes, np.array([0.9, 0.5], np.float32), np.array([1, 3])
+
+    pred = VLPartPredictor(
+        detector, sam_cfg=cfg, sam_variables=sam_var,
+        text_encoder=_FakeTextEncoder(),
+        vocabulary=["chair", "table", "lamp", "sofa"],
+        box_threshold=0.3, min_hole_area=0,
+    )
+    img = (rng.uniform(size=(40, 52, 3)) * 255).astype(np.uint8)
+    feats = pred.extract_image_feature(img, img_size=(24, 36))
+    assert feats.shape == (24, 36, 6)
+    norms = np.linalg.norm(feats, axis=-1)
+    assert ((norms < 1e-4) | (np.abs(norms - 1) < 1e-3)).all()
+
+    # below-threshold detections are dropped entirely
+    def weak_detector(image):
+        b, s, c = detector(image)
+        return b, s * 0.1, c
+
+    pred2 = VLPartPredictor(
+        weak_detector, sam_cfg=cfg, sam_variables=sam_var,
+        text_encoder=_FakeTextEncoder(),
+        vocabulary=["chair", "table", "lamp", "sofa"],
+    )
+    feats2 = pred2.extract_image_feature(img, img_size=(24, 36))
+    assert (feats2 == 0).all()
+
+
+def test_sam_box_prompt_shapes(rng):
+    cfg = SamConfig.tiny()
+    model = Sam(cfg)
+    x = jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+    var = model.init(
+        jax.random.PRNGKey(6), x, jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32)
+    )
+    emb = model.apply(var, x, method=Sam.encode_image)[0]
+    boxes = jnp.asarray(
+        rng.uniform(0, cfg.img_size, (3, 4)).astype(np.float32)
+    )
+    masks, iou = model.apply(var, emb, boxes, method=Sam.predict_boxes)
+    g = cfg.grid
+    assert masks.shape == (3, 4 * g, 4 * g) and iou.shape == (3,)
+    assert np.isfinite(np.asarray(masks)).all()

@@ -18,10 +18,15 @@ reference protocol guarantees:
     0.01, one optimizer step may nudge it; gaussian_model.py:283-286).
 
 Usage: python tools/parity_harness.py [--iters 30000] [--out PARITY_HARNESS.json]
+                                      [--state /tmp/parity_state.pkl]
+With --state, progress (train state + curve) checkpoints after every chunk
+and a rerun RESUMES — the harness is driven in bounded chunks by the session
+runner (long detached processes get reaped in this sandbox).
 """
 import argparse
 import json
 import math
+import pickle
 import time
 
 import numpy as np
@@ -117,6 +122,11 @@ def main():
     ap.add_argument("--width", type=int, default=480)
     ap.add_argument("--height", type=int, default=352)
     ap.add_argument("--out", default="PARITY_HARNESS.json")
+    ap.add_argument("--state", default=None, help="chunked resume file")
+    ap.add_argument(
+        "--max-seconds", type=float, default=1e9,
+        help="checkpoint state and exit 3 after this budget (resume later)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -192,7 +202,19 @@ def main():
     curve = []
     reset_checks = []
     it_done = 0
+    wall_used = 0.0
     chunk = 1000
+    if args.state and pathlib.Path(args.state).exists():
+        from semantic_gaussians_tpu.utils.checkpoint import load_state
+
+        blob = pickle.loads(pathlib.Path(args.state).read_bytes())
+        curve, reset_checks, it_done = (
+            blob["curve"], blob["reset_checks"], blob["it_done"],
+        )
+        wall_used = blob.get("wall_used", 0.0)
+        state = load_state(blob["state_path"], state)
+        print(f"resumed at iter {it_done} (alive "
+              f"{int(np.asarray(state.alive).sum())})", flush=True)
     t0 = time.time()
     while it_done < args.iters:
         n = min(chunk, args.iters - it_done)
@@ -216,9 +238,26 @@ def main():
             )
             reset_checks.append(dict(iter=it_done, max_opacity=mx))
         print(
-            f"[{time.time()-t0:7.1f}s] iter {it_done}: alive {n_alive} "
-            f"test-PSNR {tp:.2f}", flush=True,
+            f"[{wall_used + time.time()-t0:7.1f}s] iter {it_done}: alive "
+            f"{n_alive} test-PSNR {tp:.2f}", flush=True,
         )
+        if args.state:
+            from semantic_gaussians_tpu.utils.checkpoint import save_state
+
+            sp = args.state + ".ckpt"
+            save_state(sp, state)
+            pathlib.Path(args.state).write_bytes(
+                pickle.dumps(
+                    dict(
+                        curve=curve, reset_checks=reset_checks,
+                        it_done=it_done, state_path=sp,
+                        wall_used=wall_used + time.time() - t0,
+                    )
+                )
+            )
+            if time.time() - t0 > args.max_seconds and it_done < args.iters:
+                print(f"CHUNK DONE at iter {it_done}; resume me", flush=True)
+                sys.exit(3)
 
     alive0 = curve[0]["alive"]
     alive_15k = next(c["alive"] for c in curve if c["iter"] >= min(15000, args.iters))
@@ -240,7 +279,7 @@ def main():
         curve=curve,
         opacity_reset_checks=reset_checks,
         final=dict(test_psnr=psnr_end, alive=alive_end,
-                   wall_s=round(time.time() - t0, 1)),
+                   wall_s=round(wall_used + time.time() - t0, 1)),
         checks=checks,
     )
     out = pathlib.Path(args.out)
