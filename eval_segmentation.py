@@ -64,13 +64,22 @@ def main():
         SCANNET20_CLASS_LABELS if dataset == "scannet20" else COCOMAP_CLASS_LABELS
     )
 
-    # text features
-    tmp = e.get("text_model_path")
-    if tmp:
-        enc = TorchCLIPTextEncoder(tmp, int(cfg.fusion.get("embedding_dim", 768)))
+    # text features; eval.model_2d selects a full native provider (lseg /
+    # samclip / vlpart — used for BOTH text and the `pretrained` mode's
+    # per-view image features, like the reference's model_2d dispatch)
+    if e.get("model_2d"):
+        from semantic_gaussians_tpu.models.predictors import make_predictor
+
+        enc = make_predictor(e.model_2d, e)
     else:
-        print("WARNING: no local CLIP checkpoint; using random text features")
-        enc = RandomFeatureProvider(int(cfg.fusion.get("embedding_dim", 768)))
+        tmp = e.get("text_model_path")
+        if tmp:
+            enc = TorchCLIPTextEncoder(
+                tmp, int(cfg.fusion.get("embedding_dim", 768))
+            )
+        else:
+            print("WARNING: no local CLIP checkpoint; using random text features")
+            enc = RandomFeatureProvider(int(cfg.fusion.get("embedding_dim", 768)))
     text = text_feature_matrix(enc, labels)
 
     # scene + gaussians

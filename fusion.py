@@ -24,10 +24,7 @@ def main():
     from semantic_gaussians_tpu.io.ply import load_gaussian_ply
     from semantic_gaussians_tpu.io.dynamic_npz import load_dynamic_npz
     from semantic_gaussians_tpu.io.scene import load_scene, realize_camera
-    from semantic_gaussians_tpu.models.predictors import (
-        PrecomputedFeatureProvider,
-        RandomFeatureProvider,
-    )
+    from semantic_gaussians_tpu.models.predictors import make_predictor
     from semantic_gaussians_tpu.pipelines.fusion import (
         FusionConfig,
         fuse_scene,
@@ -60,28 +57,10 @@ def main():
         params, alive = load_gaussian_ply(ply)
         print(f"loaded {ply}: {int(np.asarray(alive).sum())} gaussians")
 
-    model_2d = f.get("model_2d", "precomputed")
-    if model_2d == "precomputed":
-        provider = PrecomputedFeatureProvider(
-            f.feature_dir, int(f.get("embedding_dim", 768))
-        )
-    elif model_2d == "lseg":
-        # Native JAX LSeg (reference fusion.py:266-276 selects lseg the same
-        # way); checkpoint is the public demo_e200.ckpt torch state dict.
-        from semantic_gaussians_tpu.models.lseg import LSegPredictor
-
-        provider = LSegPredictor(checkpoint_path=f.lseg_checkpoint)
-    elif model_2d == "samclip":
-        # Native JAX SAM + CLIP towers (reference fusion.py model_2d ==
-        # "samclip" -> SAMCLIP(sam_path, "ViT-L/14@336px")).
-        from semantic_gaussians_tpu.models.samclip import SAMCLIPPredictor
-
-        provider = SAMCLIPPredictor(
-            sam_checkpoint=f.sam_checkpoint,
-            clip_checkpoint=f.clip_checkpoint,
-        )
-    else:
-        provider = RandomFeatureProvider(int(f.get("embedding_dim", 768)))
+    # model_2d dispatch (reference fusion.py:260-294): precomputed/openseg
+    # (offline exports), lseg / samclip / vlpart (native JAX towers from
+    # local torch checkpoints), random (tests).
+    provider = make_predictor(f.get("model_2d", "precomputed"), f)
 
     fcfg = FusionConfig(
         img_dim=tuple(f.get("img_dim", (648, 484))),

@@ -10,7 +10,14 @@ and text embeddings, so here the protocol is explicit and the providers are:
   * PrecomputedFeatureProvider — loads exported per-view feature maps
     (.npy/.npz/.pt) from disk. This is the production path on TPU pods for
     OpenSeg (a TensorFlow SavedModel the reference itself treats as a black
-    box) and friends: run extraction offline, fuse on-device.
+    box): run extraction offline, fuse on-device.
+  * NATIVE JAX providers (separate modules, weights from local torch
+    checkpoints): models.lseg.LSegPredictor (ViT-L/16 + DPT, 512-d),
+    models.samclip.SAMCLIPPredictor (SAM automasks x CLIP crops, 768-d),
+    models.vlpart.VLPartPredictor (detector + SAM box refinement + CLIP
+    text, 768-d), models.clip_text.JaxCLIPTextEncoder /
+    models.clip_vision.JaxCLIPImageEncoder (the towers themselves).
+    `make_predictor` dispatches by name (reference fusion.py:260-294).
   * TorchCLIPTextEncoder — CLIP text tower via transformers (CPU torch),
     loading from a LOCAL checkpoint path (the sandbox has no egress).
   * RandomFeatureProvider — deterministic random features for tests.
@@ -124,6 +131,44 @@ class TorchCLIPTextEncoder:
 
     def extract_image_feature(self, img_path, img_size):
         raise NotImplementedError("text-only encoder")
+
+
+def make_predictor(name: str, cfg: dict) -> "Predictor2D":
+    """Build a 2D provider by name (the reference's model_2d dispatch,
+    fusion.py:260-294 / eval_segmentation.py). `cfg` is the `fusion` (or
+    `eval`) config section as a mapping."""
+    get = cfg.get if hasattr(cfg, "get") else lambda k, d=None: d
+    if name in ("precomputed", "openseg"):
+        # OpenSeg stays an offline exporter (TF SavedModel, SURVEY §7.3)
+        return PrecomputedFeatureProvider(
+            cfg["feature_dir"], int(get("embedding_dim", 768))
+        )
+    if name == "lseg":
+        from .lseg import LSegPredictor
+
+        return LSegPredictor(checkpoint_path=cfg["lseg_checkpoint"])
+    if name == "samclip":
+        from .samclip import SAMCLIPPredictor
+
+        return SAMCLIPPredictor(
+            sam_checkpoint=cfg["sam_checkpoint"],
+            clip_checkpoint=cfg["clip_checkpoint"],
+        )
+    if name == "vlpart":
+        from .clip_text import JaxCLIPTextEncoder
+        from .vlpart import PrecomputedDetections, VLPartPredictor
+
+        return VLPartPredictor(
+            PrecomputedDetections(cfg["detections_dir"]),
+            sam_checkpoint=cfg["sam_checkpoint"],
+            text_encoder=JaxCLIPTextEncoder(
+                checkpoint_path=cfg["clip_checkpoint"]
+            ),
+            vocabulary=list(get("vocabulary", [])) or None,
+        )
+    if name == "random":
+        return RandomFeatureProvider(int(get("embedding_dim", 768)))
+    raise ValueError(f"unknown model_2d: {name}")
 
 
 class RandomFeatureProvider:

@@ -165,11 +165,17 @@ def main():
 
     # GT renders from the true scene (compiled path; renderer parity vs the
     # sequential oracle is separately verified by tools/smoke_parity.py).
+    # Cached on disk so chunked resumes skip the ~1 min re-render.
     import dataclasses as dc
-    gt = []
-    for cam in train_cams + test_cams:
-        img = render(cam, true_params, true_alive)["render"]
-        gt.append(np.clip(np.asarray(img), 0.0, 1.0).astype(np.float32))
+    gt_cache = pathlib.Path(f"/tmp/parity_gt_{w}x{h}.npz")
+    if gt_cache.exists():
+        gt = list(np.load(gt_cache)["gt"])
+    else:
+        gt = []
+        for cam in train_cams + test_cams:
+            img = render(cam, true_params, true_alive)["render"]
+            gt.append(np.clip(np.asarray(img), 0.0, 1.0).astype(np.float32))
+        np.savez_compressed(gt_cache, gt=np.stack(gt))
     train_cams = [
         dc.replace(c, image=jnp.asarray(gt[i])) for i, c in enumerate(train_cams)
     ]
@@ -203,7 +209,7 @@ def main():
     reset_checks = []
     it_done = 0
     wall_used = 0.0
-    chunk = 1000
+    chunk = 500
     if args.state and pathlib.Path(args.state).exists():
         from semantic_gaussians_tpu.utils.checkpoint import load_state
 
