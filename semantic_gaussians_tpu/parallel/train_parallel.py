@@ -391,6 +391,174 @@ def make_band_train_step_zero(
     return step
 
 
+def make_hybrid_train_step_zero(
+    mesh: Mesh,
+    cfg: TrainConfig,
+    active_sh_degree: int,
+    img_height: int,
+    img_width: int,
+    pair_budget: Optional[int] = None,
+    axis_view: str = "view",
+    axis_band: str = "band",
+):
+    """ZeRO variant of the hybrid (view=host x band=chip) schedule.
+
+    Per device: render its (view, band) cell; all_gather band tiles WITHIN
+    the view row; compute that view's loss replicated across the row (the
+    all_gather transpose hands back this band's image-cotangent slice,
+    1/nband-prescaled); average view losses IMPLICITLY by scaling 1/nview.
+    Parameter grads then cross the mesh exactly once per leaf:
+    `psum_scatter` over the band axis (each chip keeps a 1/nband Gaussian
+    shard of the band-sum) followed by `psum` over the view axis (the DCN
+    hop, now 1/nband the bytes of the replicated hybrid step). Adam runs on
+    the shard; params all_gather over the band axis.
+
+    Densify stats keep per-view semantics (ADVICE r1): the offset cotangent
+    arrives per (view, band); band-psum restores the per-view mean2D grad,
+    whose norm is computed per view and then view-psum'd with visibility
+    counts.
+    """
+    from .render_sharded import band_render_core
+    from ..ops.composite_pallas import CompositeConfig
+    from ..ops.rasterize import DEFAULT_TILE, _untile
+    from ..ops.binning import default_pair_budget
+    from ..pipelines.train import _edge_crop
+
+    th, tw = DEFAULT_TILE
+    nview = mesh.shape[axis_view]
+    nband = mesh.shape[axis_band]
+    grid_w = -(-img_width // tw)
+    grid_h = -(-img_height // th)
+    band_rows = -(-grid_h // nband)
+    crop = _edge_crop(img_height, img_width, cfg.cut_edge)
+    full_cfg = CompositeConfig(
+        tile_h=th, tile_w=tw, grid_h=nband * band_rows, grid_w=grid_w,
+        num_channels=3, interpret=jax.default_backend() == "cpu",
+    )
+
+    def device_step(params, alive, mu, nu, count, cam_batch: Camera, bg):
+        assert params.capacity % nband == 0
+        blk = params.capacity // nband
+        cam = jax.tree.map(lambda x: x[0], cam_batch)  # this row's view
+        band = jax.lax.axis_index(axis_band)
+        budget = pair_budget or max(
+            8192,
+            -(-default_pair_budget(params.capacity) * 2 // nband)
+            // 8192 * 8192,
+        )
+        ccfg = CompositeConfig(
+            tile_h=th, tile_w=tw, grid_h=band_rows, grid_w=grid_w,
+            num_channels=3, interpret=full_cfg.interpret,
+        )
+        offset0 = jnp.zeros((params.capacity, 2), jnp.float32)
+
+        def loss_fn(p, offset):
+            color, _d, _t, _n, overflow, radii = band_render_core(
+                cam, p, alive, None, bg, offset,
+                band, band_rows, (th, tw), grid_w, budget, ccfg,
+                active_sh_degree,
+            )
+            tiles = jax.lax.all_gather(color, axis_band, axis=0, tiled=True)
+            img = _untile(tiles, full_cfg, img_height, img_width)
+            pred, gt = img, cam.image
+            if crop is not None:
+                ch, cw = crop
+                pred = pred[ch : img_height - ch, cw : img_width - cw]
+                gt = gt[ch : img_height - ch, cw : img_width - cw]
+            loss = photometric_loss(pred, gt, cfg.lambda_dssim)
+            # 1/nband: replicated-within-row loss differentiated on every
+            # band (all_gather transpose sums nband identical cotangents);
+            # 1/nview: mean over view rows.
+            return loss / (nband * nview), (img, overflow[0], radii[0])
+
+        (loss, (img, overflow, radii)), (gparams, goffset) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                params, offset0
+            )
+        )
+
+        # One collective pass per leaf: band reduce-scatter (ICI), then the
+        # small per-shard view psum (DCN at 1/nband bytes).
+        gshard = jax.tree.map(
+            lambda g: jax.lax.psum(
+                jax.lax.psum_scatter(
+                    g, axis_band, scatter_dimension=0, tiled=True
+                ),
+                axis_view,
+            ),
+            gparams,
+        )
+        pshard = jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, band * blk, blk, 0),
+            params,
+        )
+        lrs = lr_tree(cfg.hyper, cfg.spatial_lr_scale, count)
+        new_pshard, new_adam = adam_update(
+            gshard, AdamState(count=count, mu=mu, nu=nu), pshard, lrs,
+            cfg.hyper,
+        )
+        new_params = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis_band, axis=0, tiled=True),
+            new_pshard,
+        )
+
+        # densify stats: per-view grad (band psum, un-scale the 1/nview),
+        # then norms/counts summed over views.
+        gview = jax.lax.psum(goffset, axis_band) * nview
+        scale2 = jnp.array([[img_width * 0.5, img_height * 0.5]])
+        visible = radii > 0
+        norm_local = jnp.where(
+            visible, jnp.linalg.norm(gview * scale2, axis=-1), 0.0
+        )
+        norm_sum = jax.lax.psum(norm_local, axis_view)
+        vis_sum = jax.lax.psum(visible.astype(jnp.float32), axis_view)
+        radii_any = jax.lax.pmax(radii, axis_view)
+        loss = jax.lax.psum(loss * nband, axis_view)  # mean over views
+        step_psnr = jax.lax.pmean(psnr(img, cam.image), axis_view)
+        overflow = jax.lax.psum(
+            jax.lax.psum(overflow, axis_band), axis_view
+        )
+        metrics = dict(loss=loss, psnr=step_psnr, overflow=overflow)
+        return (
+            new_params, new_adam.mu, new_adam.nu, new_adam.count,
+            norm_sum, vis_sum, radii_any, metrics,
+        )
+
+    sharded = jax.shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(axis_band), P(axis_band), P(), P(axis_view), P(),
+        ),
+        out_specs=(
+            P(), P(axis_band), P(axis_band), P(), P(), P(), P(), P(),
+        ),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: TrainState, cam_batch: Camera, bg):
+        new_params, mu, nu, count, norm_sum, vis_sum, radii_any, metrics = (
+            sharded(
+                state.params, state.alive, state.adam.mu, state.adam.nu,
+                state.adam.count, cam_batch, bg,
+            )
+        )
+        dstate = add_stats_prereduced(
+            state.dstate, norm_sum, vis_sum, radii_any
+        )
+        new_state = dataclasses.replace(
+            state,
+            params=new_params,
+            adam=AdamState(count=count, mu=mu, nu=nu),
+            dstate=dstate,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step
+
+
 def make_band_train_step(
     mesh: Mesh,
     cfg: TrainConfig,

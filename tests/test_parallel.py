@@ -351,3 +351,57 @@ def test_band_zero_step_matches_replicated_band_step():
     np.testing.assert_array_equal(
         np.asarray(state_z.dstate.denom), np.asarray(state_b.dstate.denom)
     )
+
+
+@pytest.mark.slow
+def test_hybrid_zero_step_matches_hybrid_step():
+    """ZeRO hybrid (band reduce-scatter + view psum + sharded Adam) marches
+    in lockstep with the replicated-Adam hybrid step on a 2x4 mesh."""
+    from semantic_gaussians_tpu.parallel.train_parallel import (
+        make_hybrid_train_step,
+        make_hybrid_train_step_zero,
+    )
+
+    params, alive = _scene(n=160, seed=5)
+    rng = np.random.default_rng(9)
+    h, w = 64, 128
+    cams = [
+        make_camera(
+            np.eye(3), np.array([0.06 * i, 0, 0]), 1.2, 0.9, w, h,
+            image=rng.uniform(size=(h, w, 3)).astype(np.float32),
+        )
+        for i in range(2)
+    ]
+    cam_batch = stack_cameras(cams)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = jax.sharding.Mesh(devs, ("view", "band"))
+    cfg = TrainConfig()
+    bg = jnp.zeros(3)
+
+    state_z = init_train_state(params, alive)
+    state_h = init_train_state(params, alive)
+    zero_step = make_hybrid_train_step_zero(
+        mesh, cfg, active_sh_degree=1, img_height=h, img_width=w
+    )
+    hybrid_step = make_hybrid_train_step(
+        mesh, cfg, active_sh_degree=1, img_height=h, img_width=w
+    )
+    for _ in range(2):
+        state_z, mz = zero_step(state_z, cam_batch, bg)
+        state_h, mh = hybrid_step(state_h, cam_batch, bg)
+
+    np.testing.assert_allclose(float(mz["loss"]), float(mh["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(state_z.params), jax.tree.leaves(state_h.params)
+    ):
+        scale = np.abs(np.asarray(b)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-4
+        )
+    acc_z = np.asarray(state_z.dstate.xyz_grad_accum)
+    acc_h = np.asarray(state_h.dstate.xyz_grad_accum)
+    scale = acc_h.max() + 1e-12
+    np.testing.assert_allclose(acc_z / scale, acc_h / scale, atol=2e-3)
+    np.testing.assert_array_equal(
+        np.asarray(state_z.dstate.denom), np.asarray(state_h.dstate.denom)
+    )
