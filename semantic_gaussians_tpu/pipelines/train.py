@@ -80,11 +80,7 @@ def _edge_crop(h: int, w: int, cut_edge: bool):
     return h // 100, w // 100
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "active_sh_degree", "backend", "pair_budget"),
-)
-def train_step(
+def _step_body(
     state: TrainState,
     camera: Camera,
     bg: jnp.ndarray,
@@ -93,7 +89,8 @@ def train_step(
     backend: str = "pallas",
     pair_budget: Optional[int] = None,
 ):
-    """One optimization step. Returns (new_state, metrics dict)."""
+    """One optimization step (traceable core shared by the single-step and
+    scanned multi-step dispatch paths)."""
     offset0 = jnp.zeros((state.params.capacity, 2), jnp.float32)
     crop = _edge_crop(camera.height, camera.width, cfg.cut_edge)
 
@@ -145,6 +142,73 @@ def train_step(
         ),
         metrics,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "active_sh_degree", "backend", "pair_budget"),
+)
+def train_step(
+    state: TrainState,
+    camera: Camera,
+    bg: jnp.ndarray,
+    cfg: TrainConfig,
+    active_sh_degree: int,
+    backend: str = "pallas",
+    pair_budget: Optional[int] = None,
+):
+    """One optimization step. Returns (new_state, metrics dict)."""
+    return _step_body(
+        state, camera, bg, cfg, active_sh_degree, backend, pair_budget
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "active_sh_degree", "backend", "pair_budget"),
+)
+def train_scan_step(
+    state: TrainState,
+    cam_stack: Camera,  # leaves stacked with leading K; statics shared
+    bgs: jnp.ndarray,  # [K, 3]
+    cfg: TrainConfig,
+    active_sh_degree: int,
+    backend: str = "pallas",
+    pair_budget: Optional[int] = None,
+):
+    """K dependent steps in ONE dispatch (lax.scan over stacked cameras).
+
+    The single-step path pays one host->device dispatch per iteration
+    (~90 ms over this sandbox's remote tunnel — several times the 20 ms
+    device step); scanning K steps amortizes it Kx. Returns per-step
+    STACKED metrics (leading K) so the host keeps its every-10-iters
+    logging/budget cadence. Callers must keep static schedule inputs
+    (active SH degree) constant across the chunk."""
+
+    def body(st, inp):
+        cam, bg = inp
+        return _step_body(
+            st, cam, bg, cfg, active_sh_degree, backend, pair_budget
+        )
+
+    return jax.lax.scan(body, state, (cam_stack, bgs))
+
+
+def stack_camera_chunk(cams: list) -> Optional[Camera]:
+    """Stack cameras' array leaves (leading K) for train_scan_step; None if
+    static fields (sizes/FoVs) differ — caller falls back to single steps."""
+    import numpy as _np
+
+    base = dataclasses.replace(cams[0], image_name="")
+    norm = [dataclasses.replace(c, image_name="") for c in cams]
+    if any(
+        (c.width, c.height, c.fov_x, c.fov_y, c.znear, c.zfar)
+        != (base.width, base.height, base.fov_x, base.fov_y, base.znear,
+            base.zfar)
+        for c in norm
+    ):
+        return None
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *norm)
 
 
 @partial(jax.jit, static_argnames=("cfg", "use_screen_size"))
@@ -226,6 +290,7 @@ def train_loop(
     pair_budget: Optional[int] = None,
     tb_dir: Optional[str] = None,
     iter_offset: int = 0,
+    steps_per_dispatch: int = 1,
 ):
     """Host-side driver (single process, single device).
 
@@ -252,28 +317,61 @@ def train_loop(
         from ..ops.binning import default_pair_budget
 
         pair_budget = default_pair_budget(state.params.capacity)
-    for rel_it in range(1, iters + 1):
-        it = iter_offset + rel_it
+
+    def pick_cam():
+        nonlocal order
         if not order:
             order = list(rng.permutation(len(cameras)))
-        cam = cameras[order.pop()]
+        return cameras[order.pop()]
+
+    rel_done = 0
+    while rel_done < iters:
+        s = iter_offset + rel_done + 1  # first global iter of this chunk
+        # Chunk length: up to steps_per_dispatch dependent steps fused into
+        # ONE dispatch (lax.scan). Chunks END at every multiple of 10 so all
+        # host cadences (tb/budget every 10, densify every 100, opacity
+        # reset every 3000 — all multiples of 10) land exactly on chunk
+        # boundaries, and never cross an SH-degree change (it // 1000 is a
+        # STATIC kernel parameter; runs are [1000k, 1000k+999]).
+        n = min(steps_per_dispatch, iters - rel_done)
+        n = min(n, 10 * (-(-s // 10)) - s + 1)
+        n = min(n, 1000 * (s // 1000) + 1000 - s)
         # ref train.py:117: oneupSHdegree at it % 1000 == 0, before render
-        sh_deg = min(cfg.max_sh_degree, it // 1000)
-        step_bg = bg
+        sh_deg = min(cfg.max_sh_degree, s // 1000)
+        cams = [pick_cam() for _ in range(n)]
         if cfg.random_background:
             key, sub = jax.random.split(key)
-            step_bg = jax.random.uniform(sub, (3,))
+            bgs = jax.random.uniform(sub, (n, 3))
+        else:
+            bgs = jnp.broadcast_to(bg, (n, 3))
+        stack = stack_camera_chunk(cams) if n > 1 else None
         with timer:
-            state, metrics = train_step(
-                state, cam, step_bg, cfg, sh_deg, backend=backend,
-                pair_budget=pair_budget,
-            )
+            if stack is not None:
+                state, metrics_stack = train_scan_step(
+                    state, stack, bgs, cfg, sh_deg, backend=backend,
+                    pair_budget=pair_budget,
+                )
+                per_step = [
+                    {k: v[j] for k, v in metrics_stack.items()}
+                    for j in range(n)
+                ]
+            else:
+                per_step = []
+                for j, cam in enumerate(cams):
+                    state, m = train_step(
+                        state, cam, bgs[j], cfg, sh_deg, backend=backend,
+                        pair_budget=pair_budget,
+                    )
+                    per_step.append(m)
+        step_time = timer.value / n
+        it = s + n - 1  # chunk-end global iter
+        metrics = per_step[-1]
         if adaptive and it % 10 == 0:
-            # Periodic budget adaptation: double on overflow, resize to
-            # ~1.5x utilization on power-of-two buckets. Decisions consume
-            # the PREVIOUS checkpoint's metrics (10 steps stale): those
+            # Budget adaptation: double on overflow, resize toward measured
+            # utilization (tuned_pair_budget granules). Decisions consume
+            # the PREVIOUS checkpoint's metrics (>= 10 steps stale): those
             # arrays are long since materialized, so int() never blocks the
-            # device pipeline on the in-flight step.
+            # device pipeline on the in-flight chunk.
             if pending_check is not None:
                 ov_arr, pairs_arr, chk_it = pending_check
                 if int(ov_arr) > 0:
@@ -282,13 +380,17 @@ def train_loop(
                     want = tuned_pair_budget(int(pairs_arr))
                     if want > pair_budget or want < pair_budget * 2 // 3:
                         pair_budget = want
-            pending_check = (metrics["overflow"], metrics["num_pairs"], it)
+            pending_check = (
+                jnp.max(jnp.stack([m["overflow"] for m in per_step])),
+                jnp.max(jnp.stack([m["num_pairs"] for m in per_step])),
+                it,
+            )
         if tb and it % 10 == 0:
             # reference TB parity (train.py:182-187)
             tb.scalar("train/loss", metrics["loss"], it)
             tb.scalar("train/psnr", metrics["psnr"], it)
             tb.scalar("train/total_points", metrics["num_points"], it)
-            tb.scalar("train/iter_time", timer.value, it)
+            tb.scalar("train/iter_time", step_time, it)
             if it % 1000 == 0:
                 tb.histogram(
                     "scene/opacity_histogram",
@@ -296,7 +398,8 @@ def train_loop(
                     it,
                 )
         # ref train.py:155-174: all densify/reset logic gated on
-        # it < densify_until_iter (strict)
+        # it < densify_until_iter (strict); the cadence iters (multiples of
+        # 100 / 3000 / densify_from) are always chunk ends (see above)
         if it < cfg.densify_until_iter:
             if (
                 it > cfg.densify_from_iter
@@ -314,11 +417,15 @@ def train_loop(
                 cfg.white_background and it == cfg.densify_from_iter
             ):
                 state = opacity_reset_step(state)
-        if log_every and it % log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            history.append((it, m))
-            print(
-                f"iter {it}: loss {m['loss']:.4f} psnr {m['psnr']:.2f} "
-                f"pts {int(m['num_points'])}"
-            )
+        if log_every:
+            for j, m in enumerate(per_step):
+                itj = s + j
+                if itj % log_every == 0:
+                    mf = {k: float(v) for k, v in m.items()}
+                    history.append((itj, mf))
+                    print(
+                        f"iter {itj}: loss {mf['loss']:.4f} "
+                        f"psnr {mf['psnr']:.2f} pts {int(mf['num_points'])}"
+                    )
+        rel_done += n
     return state, history

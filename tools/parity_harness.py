@@ -209,7 +209,7 @@ def main():
     reset_checks = []
     it_done = 0
     wall_used = 0.0
-    chunk = 500
+    chunk = 250
     if args.state and pathlib.Path(args.state).exists():
         from semantic_gaussians_tpu.utils.checkpoint import load_state
 
@@ -227,6 +227,7 @@ def main():
         state, hist = train_loop(
             state, train_cams, cfg, key, scene_extent=scene_extent,
             num_iters=n, log_every=0, iter_offset=it_done,
+            steps_per_dispatch=10,
         )
         it_done += n
         n_alive = int(np.asarray(state.alive).sum())

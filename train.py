@@ -128,6 +128,7 @@ def main():
             num_iters=target - done, backend=backend, log_every=100,
             pair_budget=budget, tb_dir=str(out_dir / "tb_logs"),
             iter_offset=done,
+            steps_per_dispatch=int(t.get("steps_per_dispatch", 10)),
         )
         done = target
         if target in test_iters and test_cams:
