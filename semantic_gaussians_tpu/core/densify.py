@@ -34,11 +34,12 @@ Semantics parity notes:
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
 
-from ..utils.transforms import inverse_sigmoid, quat_to_rotmat
+from ..utils.transforms import quat_to_rotmat
 from .gaussians import GaussianParams
 from .optimizer import AdamState, zero_moments_at, zero_moments_leaf
 
@@ -218,7 +219,9 @@ def densify_and_prune(
 def reset_opacity(params: GaussianParams, adam: AdamState):
     """Clamp opacity to <= 0.01 and clear its Adam moments
     (gaussian_model.py:283-286, train.py opacity_reset_interval)."""
-    target = float(inverse_sigmoid(jnp.asarray(0.01)))
+    # plain-Python constant: float(jnp...) would concretize a tracer when
+    # this runs under jit (opacity_reset_step)
+    target = math.log(0.01 / 0.99)
     new_logits = jnp.minimum(params.opacity_logits, target)
     return (
         dataclasses.replace(params, opacity_logits=new_logits),

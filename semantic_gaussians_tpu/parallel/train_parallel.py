@@ -619,3 +619,104 @@ def make_band_train_step(
         return new_state, metrics
 
     return jax.jit(step)
+
+
+def hybrid_train_loop(
+    state: TrainState,
+    cameras: list,
+    cfg: TrainConfig,
+    key: jax.Array,
+    mesh: Mesh,
+    scene_extent: float = 1.0,
+    num_iters: Optional[int] = None,
+    log_every: int = 0,
+    pair_budget: Optional[int] = None,
+    iter_offset: int = 0,
+    zero: bool = False,
+    axis_view: str = "view",
+    axis_band: str = "band",
+):
+    """Multi-host training driver over the hybrid (view=host x band=chip)
+    mesh — the pod counterpart of pipelines.train.train_loop.
+
+    Every process runs IDENTICAL host logic on the replicated state (same
+    RNG streams, same densify decisions); each host row contributes its own
+    view per step via multihost.global_batch_from_local, so one step trains
+    nview different views band-sharded over each host's chips. The full
+    reference protocol applies: SH warmup every 1000 (steps rebuilt per
+    degree — it is a static kernel parameter), densify/prune every 100 in
+    the window (psum'd per-view stats), opacity reset every 3000, planned
+    capacity doubling. `zero=True` uses the reduce-scatter + sharded-Adam
+    step (make_hybrid_train_step_zero) — prefer it on pods; the replicated
+    default keeps host-side state fully addressable for single-process runs.
+    """
+    from . import multihost
+    from ..pipelines.train import (
+        densify_step,
+        grow_capacity,
+        num_alive,
+        opacity_reset_step,
+    )
+
+    import numpy as np
+
+    nview = mesh.shape[axis_view]
+    h, w = cameras[0].height, cameras[0].width
+    iters = num_iters or cfg.iterations
+    rng = np.random.default_rng(0)
+    order: list = []
+    history = []
+    make = make_hybrid_train_step_zero if zero else make_hybrid_train_step
+    steps_by_degree: dict = {}
+
+    def step_fn(deg):
+        if deg not in steps_by_degree:
+            steps_by_degree[deg] = make(
+                mesh, cfg, active_sh_degree=deg, img_height=h, img_width=w,
+                pair_budget=pair_budget, axis_view=axis_view,
+                axis_band=axis_band,
+            )
+        return steps_by_degree[deg]
+
+    bg = jnp.ones(3) if cfg.white_background else jnp.zeros(3)
+    me = jax.process_index() if jax.process_count() > 1 else 0
+    for rel_it in range(1, iters + 1):
+        it = iter_offset + rel_it
+        # same permutation stream on every process; each host row takes its
+        # own slot of the nview-view step batch
+        while len(order) < nview:
+            order = order + list(rng.permutation(len(cameras)))
+        take, order = order[:nview], order[nview:]
+        sh_deg = min(cfg.max_sh_degree, it // 1000)
+        if jax.process_count() > 1:
+            local = stack_cameras([cameras[take[me]]])
+            cam_batch = multihost.global_batch_from_local(
+                local, mesh, axis_view
+            )
+        else:
+            cam_batch = stack_cameras([cameras[i] for i in take])
+        state, metrics = step_fn(sh_deg)(state, cam_batch, bg)
+        if it < cfg.densify_until_iter:
+            if (
+                it > cfg.densify_from_iter
+                and it % cfg.densification_interval == 0
+            ):
+                key, sub = jax.random.split(key)
+                state, _dropped = densify_step(
+                    state, sub, scene_extent, cfg,
+                    use_screen_size=it > cfg.opacity_reset_interval,
+                )
+                if int(num_alive(state.alive)) > 0.85 * state.params.capacity:
+                    state = grow_capacity(state)
+            if it % cfg.opacity_reset_interval == 0 or (
+                cfg.white_background and it == cfg.densify_from_iter
+            ):
+                state = opacity_reset_step(state)
+        if log_every and it % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            history.append((it, m))
+            multihost.primary_print(
+                f"iter {it}: loss {m['loss']:.4f} psnr {m['psnr']:.2f} "
+                f"alive {int(np.asarray(num_alive(state.alive)))}"
+            )
+    return state, history

@@ -197,8 +197,6 @@ def train_scan_step(
 def stack_camera_chunk(cams: list) -> Optional[Camera]:
     """Stack cameras' array leaves (leading K) for train_scan_step; None if
     static fields (sizes/FoVs) differ — caller falls back to single steps."""
-    import numpy as _np
-
     base = dataclasses.replace(cams[0], image_name="")
     norm = [dataclasses.replace(c, image_name="") for c in cams]
     if any(

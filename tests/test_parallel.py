@@ -405,3 +405,42 @@ def test_hybrid_zero_step_matches_hybrid_step():
     np.testing.assert_array_equal(
         np.asarray(state_z.dstate.denom), np.asarray(state_h.dstate.denom)
     )
+
+
+@pytest.mark.slow
+def test_hybrid_train_loop_protocol():
+    """hybrid_train_loop runs the full protocol (SH warmup step-fn rebuild,
+    densify, opacity reset) on a 2x4 mesh and improves the loss."""
+    from semantic_gaussians_tpu.parallel.train_parallel import (
+        hybrid_train_loop,
+    )
+
+    params, alive = _scene(n=150, seed=8)
+    rng = np.random.default_rng(3)
+    h, w = 64, 128
+    cams = [
+        make_camera(
+            np.eye(3), np.array([0.04 * i, 0, 0]), 1.2, 0.9, w, h,
+            image=rng.uniform(size=(h, w, 3)).astype(np.float32),
+        )
+        for i in range(4)
+    ]
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = jax.sharding.Mesh(devs, ("view", "band"))
+    cfg = dataclasses.replace(
+        TrainConfig(),
+        densify_from_iter=4,
+        densification_interval=6,
+        opacity_reset_interval=18,
+    )
+    state = init_train_state(params, alive)
+    state, hist = hybrid_train_loop(
+        state, cams, cfg, jax.random.PRNGKey(0), mesh, scene_extent=2.0,
+        num_iters=24, log_every=6,
+    )
+    assert int(state.step) == 24
+    assert len(hist) == 4
+    assert np.isfinite(hist[-1][1]["loss"])
+    # opacity reset landed at iter 18
+    mx = float(np.asarray(state.params.opacity)[np.asarray(state.alive)].max())
+    assert mx < 0.5  # reset at 18, only 6 recovery steps

@@ -39,6 +39,17 @@ def main():
     from semantic_gaussians_tpu.utils.seeding import set_seed
 
     cfg = load_config(sys.argv[1])
+    # Multi-host: jax.distributed.initialize MUST precede any backend touch
+    # (parallel.multihost docstring has the 2-host launch recipe).
+    distributed = bool(cfg.pipeline.get("distributed", False))
+    if distributed:
+        from semantic_gaussians_tpu.parallel import multihost
+
+        multihost.init_distributed()
+        print(
+            f"[distributed] process {jax.process_index()}/"
+            f"{jax.process_count()}, {jax.local_device_count()} local devices"
+        )
     print(pretty(cfg))
     key = set_seed(int(cfg.pipeline.get("seed", 0)))
 
@@ -93,9 +104,12 @@ def main():
         spatial_lr_scale=float(scene.nerf_normalization["radius"]),
     )
 
+    import jax as _jax
+    primary = (not distributed) or _jax.process_index() == 0
     out_dir = pathlib.Path("output") / str(t.exp_name)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    (out_dir / "config.yaml").write_text(pretty(cfg))
+    if primary:
+        out_dir.mkdir(parents=True, exist_ok=True)
+        (out_dir / "config.yaml").write_text(pretty(cfg))
 
     save_iters = set(int(i) for i in t.get("save_iterations", []))
     ckpt_iters = set(int(i) for i in t.get("checkpoint_iterations", []))
@@ -120,16 +134,37 @@ def main():
             + [int(t.iterations)]
         )
     )
+    if distributed:
+        from semantic_gaussians_tpu.parallel.multihost import (
+            make_view_band_mesh,
+        )
+
+        dist_mesh = make_view_band_mesh()
+        print(f"[distributed] mesh {dict(dist_mesh.shape)}")
+
     for target in milestones:
         if target <= done:
             continue
-        state, _ = train_loop(
-            state, cameras, tc, key, scene.nerf_normalization["radius"],
-            num_iters=target - done, backend=backend, log_every=100,
-            pair_budget=budget, tb_dir=str(out_dir / "tb_logs"),
-            iter_offset=done,
-            steps_per_dispatch=int(t.get("steps_per_dispatch", 10)),
-        )
+        if distributed:
+            from semantic_gaussians_tpu.parallel.train_parallel import (
+                hybrid_train_loop,
+            )
+
+            state, _ = hybrid_train_loop(
+                state, cameras, tc, key, dist_mesh,
+                scene_extent=scene.nerf_normalization["radius"],
+                num_iters=target - done, log_every=100,
+                pair_budget=budget, iter_offset=done,
+                zero=bool(cfg.pipeline.get("zero", False)),
+            )
+        else:
+            state, _ = train_loop(
+                state, cameras, tc, key, scene.nerf_normalization["radius"],
+                num_iters=target - done, backend=backend, log_every=100,
+                pair_budget=budget, tb_dir=str(out_dir / "tb_logs"),
+                iter_offset=done,
+                steps_per_dispatch=int(t.get("steps_per_dispatch", 10)),
+            )
         done = target
         if target in test_iters and test_cams:
             # reference eval() (train.py:34-72): L1/PSNR over test views
@@ -149,11 +184,11 @@ def main():
                 f"[test @ {target}] L1 {np.mean(l1s):.4f} "
                 f"PSNR {np.mean(psnrs):.2f}"
             )
-        if target in save_iters or target == int(t.iterations):
+        if primary and (target in save_iters or target == int(t.iterations)):
             ply = out_dir / "point_cloud" / f"iteration_{target}" / "point_cloud.ply"
             save_gaussian_ply(ply, state.params, np.asarray(state.alive))
             print(f"saved {ply} ({int(num_alive(state.alive))} gaussians)")
-        if target in ckpt_iters:
+        if primary and target in ckpt_iters:
             save_state(out_dir / f"ckpt_{target}", state)
             print(f"checkpointed iteration {target}")
 
