@@ -127,6 +127,12 @@ def main():
         "--max-seconds", type=float, default=1e9,
         help="checkpoint state and exit 3 after this budget (resume later)",
     )
+    ap.add_argument("--chunk-iters", type=int, default=100)
+    ap.add_argument(
+        "--pair-budget", type=int, default=1_572_864,
+        help="FIXED pair budget: adaptive budgets recompile the scan graph "
+        "on every resize; a generous constant compiles once per capacity",
+    )
     args = ap.parse_args()
 
     import jax
@@ -209,7 +215,7 @@ def main():
     reset_checks = []
     it_done = 0
     wall_used = 0.0
-    chunk = 250
+    chunk = args.chunk_iters
     if args.state and pathlib.Path(args.state).exists():
         from semantic_gaussians_tpu.utils.checkpoint import load_state
 
@@ -226,12 +232,17 @@ def main():
         n = min(chunk, args.iters - it_done)
         state, hist = train_loop(
             state, train_cams, cfg, key, scene_extent=scene_extent,
-            num_iters=n, log_every=0, iter_offset=it_done,
-            steps_per_dispatch=10,
+            num_iters=n, log_every=n, iter_offset=it_done,
+            steps_per_dispatch=10, pair_budget=args.pair_budget,
         )
+        ov = max((int(m["overflow"]) for _, m in hist), default=0)
+        if ov:
+            print(f"WARNING: pair budget overflow {ov} pairs dropped")
         it_done += n
         n_alive = int(np.asarray(state.alive).sum())
-        tp = test_psnr(state)
+        tp = test_psnr(state) if it_done % 500 == 0 else (
+            curve[-1]["test_psnr"] if curve else float("nan")
+        )
         tr = float(hist[-1][1]["psnr"]) if hist else float("nan")
         curve.append(
             dict(iter=it_done, alive=n_alive, test_psnr=tp,
