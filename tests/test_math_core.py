@@ -289,3 +289,66 @@ def test_cov2d_elementwise_matches_matmul_oracle(rng):
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5
         )
+
+
+def test_bin_gaussians_matches_bruteforce(rng):
+    """Pair expansion + tile decode (bit-packed table, cummax offsets) vs a
+    numpy enumeration, including rect clamping at grid edges and the
+    gen-order invariants the segment-sum VJP relies on."""
+    import jax
+    import jax.numpy as jnp
+    from semantic_gaussians_tpu.ops.binning import bin_gaussians, tile_rects
+
+    n = 120
+    th, tw = 16, 32
+    nty, ntx = 6, 5  # 96 x 160 px image
+    means2d = jnp.asarray(
+        rng.uniform(-40, 200, size=(n, 2)).astype(np.float32)
+    )  # includes off-screen means (rects clamp to the grid edge)
+    depths = jnp.asarray(rng.uniform(0.5, 10, size=(n,)).astype(np.float32))
+    radii = jnp.asarray(
+        (rng.uniform(0, 60, size=(n, 2)) * (rng.uniform(size=(n, 1)) > 0.2))
+        .astype(np.float32)
+    )  # ~20% zero -> culled
+    budget = 4096
+    b = bin_gaussians(means2d, depths, radii, (th, tw), (nty, ntx), budget)
+
+    # numpy enumeration
+    x0, x1, y0, y1, counts = map(np.asarray, tile_rects(
+        means2d, radii, (th, tw), (nty, ntx)
+    ))
+    pairs = []  # (tile, depth, gid)
+    d = np.asarray(depths)
+    for g in range(n):
+        if counts[g] == 0:
+            continue
+        for ty in range(y0[g], y1[g]):
+            for tx in range(x0[g], x1[g]):
+                pairs.append((ty * ntx + tx, d[g], g))
+    total = len(pairs)
+    assert int(b.num_pairs) == total and int(b.overflow) == 0
+    pairs.sort(key=lambda p: (p[0], p[1]))  # tile-major, depth within tile
+    want_g = np.array([p[2] for p in pairs])
+    got_g = np.asarray(b.pair_gaussian)[:total]
+    np.testing.assert_array_equal(got_g, want_g)
+    np.testing.assert_array_equal(
+        np.asarray(b.pair_tile)[:total], [p[0] for p in pairs]
+    )
+    # tile ranges partition the sorted list
+    starts = np.asarray(b.tile_start)
+    cnts = np.asarray(b.tile_count)
+    assert cnts.sum() == total
+    for t in range(nty * ntx):
+        seg = np.asarray(b.pair_tile)[starts[t] : starts[t] + cnts[t]]
+        assert (seg == t).all()
+
+    # gen-order invariants (segment-sum contract): owners non-decreasing,
+    # increments <= 1; tile_pos_of_gen maps gen pairs to their tile slots
+    owners = np.asarray(b.gen_owner)[:total]
+    diffs = np.diff(owners)
+    assert (diffs >= 0).all() and (diffs <= 1).all()
+    tpg = np.asarray(b.tile_pos_of_gen)[:total]
+    assert len(np.unique(tpg)) == total
+    # the gaussian at tile slot tpg[i] is gen pair i's owner's original id
+    o2d = np.asarray(b.orig_to_dense)
+    np.testing.assert_array_equal(o2d[got_g[tpg]], owners)
