@@ -103,7 +103,8 @@ def remove_small_regions(mask: np.ndarray, area_thresh: int, mode: str):
     assert mode in ("holes", "islands")
     correct_holes = mode == "holes"
     working = (correct_holes ^ mask).astype(np.uint8)
-    labels, n = ndimage.label(working)
+    # 8-connectivity: parity with the reference's cv2.connectedComponents
+    labels, n = ndimage.label(working, structure=np.ones((3, 3), np.uint8))
     if n == 0:
         return mask, False
     sizes = ndimage.sum_labels(np.ones_like(working), labels, np.arange(1, n + 1))

@@ -7,8 +7,8 @@ CLIP ViT-L/14@336px) and VLPart's text-aligned region features. Architecture
 learned positional embedding, pre-LN residual blocks with QuickGELU MLPs,
 ln_post on the class token, linear projection into the joint space.
 
-Weights load from the OpenAI `clip` state_dict (visual.*) or HF
-CLIPVisionModelWithProjection naming via `params_from_torch_state_dict`.
+Weights load from the OpenAI `clip` state_dict (`visual.*` keys, incl.
+TorchScript archives) via `params_from_torch_state_dict`.
 Preprocessing matches the reference crop path (samclip_predictor.py:91-95):
 float RGB in [0,1], normalized with CLIP mean/std — resizing/padding of the
 mask crops happens in the predictor.
@@ -189,9 +189,20 @@ class JaxCLIPImageEncoder:
         if params is None:
             if checkpoint_path is None:
                 raise ValueError("need params or checkpoint_path")
-            from .clip_text import load_checkpoint
+            # RAW state dict load (clip_text.load_checkpoint converts for
+            # the TEXT tower and would double-convert here); handles plain
+            # state dicts and TorchScript archives (the OpenAI .pt files).
+            import torch
 
-            params = params_from_torch_state_dict(load_checkpoint(checkpoint_path))
+            try:
+                sd = torch.load(
+                    checkpoint_path, map_location="cpu", weights_only=False
+                )
+            except RuntimeError:
+                sd = torch.jit.load(checkpoint_path, map_location="cpu")
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            params = params_from_torch_state_dict(sd, self.tower)
         self.params = params
         self.embedding_dim = self.tower.embed_dim
         self._jit = jax.jit(lambda v, x: self.tower.apply(v, x))

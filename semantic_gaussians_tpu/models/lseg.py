@@ -47,6 +47,8 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
+from .predictors import load_image
+
 LN_EPS = 1e-6  # timm ViT LayerNorm epsilon
 
 
@@ -541,7 +543,7 @@ class LSegPredictor:
         float array. Pipeline parity (lseg_predictor.py:57-76): resize to
         img_size, normalize (0.5/0.5), pre-scale long side to base_size,
         run the net, resize features back to img_size."""
-        img = _load_image(img_path)
+        img = load_image(img_path)
         if img_size is not None:
             w, h = int(img_size[0]), int(img_size[1])
         else:
@@ -571,18 +573,6 @@ class LSegPredictor:
         if self.text_encoder is None:
             raise ValueError("no text tower loaded; pass text_encoder")
         return np.asarray(self.text_encoder.extract_text_feature(labelset))
-
-
-def _load_image(img) -> np.ndarray:
-    if isinstance(img, (str, Path)):
-        from PIL import Image
-
-        return np.asarray(Image.open(img).convert("RGB"))
-    arr = np.asarray(img)
-    if arr.dtype != np.uint8:
-        arr = np.clip(arr * 255.0 if arr.max() <= 1.0 else arr, 0, 255)
-        arr = arr.astype(np.uint8)
-    return arr
 
 
 def _resize_image_np(img: np.ndarray, h: int, w: int) -> np.ndarray:

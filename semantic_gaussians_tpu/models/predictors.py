@@ -200,3 +200,17 @@ class RandomFeatureProvider:
             ]
         ).astype(np.float32)
         return feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+
+
+def load_image(img) -> np.ndarray:
+    """Path-or-array loader shared by the native providers: returns RGB
+    uint8 (float arrays in [0,1] or [0,255] are normalized)."""
+    if not isinstance(img, np.ndarray):
+        from PIL import Image
+
+        return np.asarray(Image.open(str(img)).convert("RGB"))
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr * 255.0 if arr.max() <= 1.0 else arr, 0, 255)
+        arr = arr.astype(np.uint8)
+    return arr

@@ -415,7 +415,11 @@ class MaskDecoder(nn.Module):
         iou_out = q[:, 0]
         mask_out = q[:, 1 : 2 + c.num_multimask]  # (B, 4, D)
 
-        up = src.reshape(b, g, g, c.decoder_dim)
+        # upscale the transformer-UPDATED image embedding (the reference
+        # decoder upscales the `src` returned by the two-way transformer,
+        # mask_decoder.py predict_masks — the pretrained up/hyper weights
+        # are trained against the attended embedding, not the input one)
+        up = k.reshape(b, g, g, c.decoder_dim)
         up = nn.ConvTranspose(
             c.decoder_dim // 4, (2, 2), strides=(2, 2), name="up0"
         )(up)

@@ -22,6 +22,7 @@ import numpy as np
 
 from .automask import AutoMaskConfig, SamAutoMask
 from .clip_vision import JaxCLIPImageEncoder
+from .predictors import load_image
 from .sam import SamConfig
 
 
@@ -32,7 +33,8 @@ def pad_square_crop(
     (samclip_predictor.py:66-84 semantics)."""
     x1, y1 = int(bbox[0]), int(bbox[1])
     x2, y2 = int(bbox[0] + bbox[2]), int(bbox[1] + bbox[3])
-    crop = (image * seg[:, :, None])[y1:y2, x1:x2]
+    # crop first: masking the full image is O(HW) per annotation
+    crop = image[y1:y2, x1:x2] * seg[y1:y2, x1:x2, None]
     h, w = crop.shape[:2]
     if h == 0 or w == 0:
         return np.zeros((out_size, out_size, 3), np.float32)
@@ -104,11 +106,11 @@ class SAMCLIPPredictor:
 
     def extract_image_feature(self, img_path, img_size=None) -> np.ndarray:
         """[H, W, D] per-pixel CLIP-space map. Accepts a path or an RGB
-        array; resized to img_size (h, w) first like the reference
-        (cv2.resize to (W, H), samclip_predictor.py:53-54)."""
-        img = _load_image(img_path)
+        array; resized to img_size first. img_size follows the repo's
+        Predictor2D convention (W, H) — fusion.img_dim is (W, H)."""
+        img = load_image(img_path)
         if img_size is not None:
-            h, w = int(img_size[0]), int(img_size[1])
+            w, h = int(img_size[0]), int(img_size[1])
             img = np.asarray(
                 jax.image.resize(
                     jnp.asarray(img, jnp.float32), (h, w, 3), method="linear"
@@ -147,10 +149,3 @@ class SAMCLIPPredictor:
             raise ValueError("no text tower; pass text_encoder")
         return np.asarray(self.text_encoder.extract_text_feature(labelset))
 
-
-def _load_image(img) -> np.ndarray:
-    if isinstance(img, np.ndarray):
-        return img
-    from PIL import Image
-
-    return np.asarray(Image.open(str(img)).convert("RGB"))

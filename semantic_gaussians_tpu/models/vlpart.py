@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .automask import remove_small_regions
+from .predictors import load_image
 from .sam import Sam, SamConfig, preprocess_image
 
 
@@ -106,10 +107,6 @@ class VLPartPredictor:
                 v, emb, b, method=Sam.predict_boxes
             )
         )
-        if self.embedding_dim and text_encoder is not None:
-            # match whatever joint space the text tower provides
-            probe = np.asarray(text_encoder.extract_text_feature(["a thing"]))
-            self.embedding_dim = int(probe.shape[-1])
 
     # -- protocol surface ---------------------------------------------------
 
@@ -149,13 +146,20 @@ class VLPartPredictor:
 
     def extract_image_feature(self, img_path, img_size=None) -> np.ndarray:
         assert self.text_features is not None, "set_predefined_cls first"
-        if hasattr(self.detector, "set_current") and not isinstance(
-            img_path, np.ndarray
-        ):
+        if hasattr(self.detector, "set_current"):
+            if isinstance(img_path, np.ndarray):
+                raise ValueError(
+                    "PrecomputedDetections needs an image PATH (detections "
+                    "are keyed by file stem); got an array"
+                )
             self.detector.set_current(img_path)
-        img = _load_image(img_path)
+        img = load_image(img_path)
         h, w = img.shape[:2]
-        out_hw = (int(img_size[0]), int(img_size[1])) if img_size is not None else (h, w)
+        # img_size follows the Predictor2D (W, H) convention
+        out_hw = (
+            (int(img_size[1]), int(img_size[0])) if img_size is not None
+            else (h, w)
+        )
 
         boxes, scores, classes = self.detector(img)
         keep = scores >= self.box_threshold
@@ -201,10 +205,3 @@ class VLPartPredictor:
         sem /= np.linalg.norm(sem, axis=-1, keepdims=True) + 1e-8
         return sem.astype(np.float32)
 
-
-def _load_image(img) -> np.ndarray:
-    if isinstance(img, np.ndarray):
-        return img
-    from PIL import Image
-
-    return np.asarray(Image.open(str(img)).convert("RGB"))

@@ -396,7 +396,7 @@ def test_samclip_predictor_end_to_end(rng):
         ),
     )
     img = (rng.uniform(size=(40, 52, 3)) * 255).astype(np.uint8)
-    feats = pred.extract_image_feature(img, img_size=(32, 48))
+    feats = pred.extract_image_feature(img, img_size=(48, 32))  # (W, H)
     assert feats.shape == (32, 48, 6)
     norms = np.linalg.norm(feats, axis=-1)
     covered = norms > 0.5
@@ -441,7 +441,7 @@ def test_vlpart_predictor_end_to_end(rng):
         box_threshold=0.3, min_hole_area=0,
     )
     img = (rng.uniform(size=(40, 52, 3)) * 255).astype(np.uint8)
-    feats = pred.extract_image_feature(img, img_size=(24, 36))
+    feats = pred.extract_image_feature(img, img_size=(36, 24))  # (W, H)
     assert feats.shape == (24, 36, 6)
     norms = np.linalg.norm(feats, axis=-1)
     assert ((norms < 1e-4) | (np.abs(norms - 1) < 1e-3)).all()
