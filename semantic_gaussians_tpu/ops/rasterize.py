@@ -66,7 +66,7 @@ def _pack_gather_fwd(
 
 def _pack_gather_bwd(res, cot):
     import numpy as np
-    from jax._src import dtypes as _jax_dtypes
+    from jax.dtypes import float0 as _float0
     from .segsum import CHUNK as SEG_CHUNK, segsum_contiguous
 
     tile_pos_of_gen, gen_owner, orig_to_dense, num_pairs, n_rows = res
@@ -98,7 +98,7 @@ def _pack_gather_bwd(res, cot):
     d_packed = grad_dense[
         :, jnp.concatenate([orig_to_dense, jnp.array([n_rows - 1], jnp.int32)])
     ].T
-    f0 = lambda x: np.zeros(x.shape, _jax_dtypes.float0)
+    f0 = lambda x: np.zeros(x.shape, _float0)
     return (
         d_packed,
         f0(tile_pos_of_gen),

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.gaussians import GaussianParams
-from ..ops.binning import bin_gaussians, default_pair_budget
+from ..ops.binning import band_pair_budget, bin_gaussians
 from ..ops.composite_pallas import CompositeConfig, composite_pairs, pad_pair_cols
 from ..ops.projection import project_gaussians
 from ..ops.rasterize import DEFAULT_TILE, _pack_pair_cols, _untile
@@ -116,13 +116,9 @@ def render_sharded(
     grid_h = -(-camera.height // th)
     band_rows = -(-grid_h // ndev)  # tile rows per device
     n = params.capacity
-    # Per-band budget: an even 1/ndev split would overflow whenever splats
-    # cluster in one band (the single-chip path would not), so default to 2x
-    # headroom over the even split, 8k-granule rounded. Overflow is still
-    # counted and surfaced; callers can pass pair_budget to override.
-    budget = pair_budget or max(
-        8192, -(-default_pair_budget(n) * 2 // ndev) // 8192 * 8192
-    )
+    # Per-band budget with 2x headroom (see binning.band_pair_budget);
+    # overflow is still counted and surfaced; pass pair_budget to override.
+    budget = pair_budget or band_pair_budget(n, ndev)
     num_ch = 3 if override_color is None else override_color.shape[-1]
     if bg is None:
         bg = jnp.zeros(num_ch, jnp.float32)

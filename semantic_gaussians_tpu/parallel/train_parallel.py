@@ -97,7 +97,11 @@ def make_parallel_train_step(
             dstate=dstate,
             step=state.step + 1,
         )
-        metrics = dict(loss=loss, psnr=step_psnr, overflow=out["overflow"])
+        metrics = dict(
+            loss=loss,
+            psnr=step_psnr,
+            overflow=jax.lax.psum(out["overflow"], axis),
+        )
         return new_state, metrics
 
     sharded = jax.shard_map(
@@ -132,7 +136,7 @@ def make_hybrid_train_step(
     from .render_sharded import band_render_core
     from ..ops.composite_pallas import CompositeConfig
     from ..ops.rasterize import DEFAULT_TILE, _untile
-    from ..ops.binning import default_pair_budget
+    from ..ops.binning import band_pair_budget
     from ..pipelines.train import _edge_crop
 
     th, tw = DEFAULT_TILE
@@ -148,10 +152,7 @@ def make_hybrid_train_step(
         band = jax.lax.axis_index(axis_band)
         # 2x headroom over the even split (see render_sharded: clustered
         # splats would overflow an even 1/nband budget)
-        budget = pair_budget or max(
-            8192,
-            -(-default_pair_budget(params.capacity) * 2 // nband) // 8192 * 8192,
-        )
+        budget = pair_budget or band_pair_budget(params.capacity, nband)
         ccfg = CompositeConfig(
             tile_h=th, tile_w=tw, grid_h=band_rows, grid_w=grid_w,
             num_channels=3, interpret=jax.default_backend() == "cpu",
@@ -271,7 +272,7 @@ def make_band_train_step_zero(
     from .render_sharded import band_render_core
     from ..ops.composite_pallas import CompositeConfig
     from ..ops.rasterize import DEFAULT_TILE, _untile
-    from ..ops.binning import default_pair_budget
+    from ..ops.binning import band_pair_budget
     from ..pipelines.train import _edge_crop
 
     th, tw = DEFAULT_TILE
@@ -289,11 +290,7 @@ def make_band_train_step_zero(
         assert params.capacity % ndev == 0, "capacity must divide the mesh"
         blk = params.capacity // ndev
         band = jax.lax.axis_index(axis)
-        budget = pair_budget or max(
-            8192,
-            -(-default_pair_budget(params.capacity) * 2 // ndev)
-            // 8192 * 8192,
-        )
+        budget = pair_budget or band_pair_budget(params.capacity, ndev)
         ccfg = CompositeConfig(
             tile_h=th, tile_w=tw, grid_h=band_rows, grid_w=grid_w,
             num_channels=3, interpret=full_cfg.interpret,
@@ -421,7 +418,7 @@ def make_hybrid_train_step_zero(
     from .render_sharded import band_render_core
     from ..ops.composite_pallas import CompositeConfig
     from ..ops.rasterize import DEFAULT_TILE, _untile
-    from ..ops.binning import default_pair_budget
+    from ..ops.binning import band_pair_budget
     from ..pipelines.train import _edge_crop
 
     th, tw = DEFAULT_TILE
@@ -441,11 +438,7 @@ def make_hybrid_train_step_zero(
         blk = params.capacity // nband
         cam = jax.tree.map(lambda x: x[0], cam_batch)  # this row's view
         band = jax.lax.axis_index(axis_band)
-        budget = pair_budget or max(
-            8192,
-            -(-default_pair_budget(params.capacity) * 2 // nband)
-            // 8192 * 8192,
-        )
+        budget = pair_budget or band_pair_budget(params.capacity, nband)
         ccfg = CompositeConfig(
             tile_h=th, tile_w=tw, grid_h=band_rows, grid_w=grid_w,
             num_channels=3, interpret=full_cfg.interpret,

@@ -289,6 +289,7 @@ def train_loop(
     tb_dir: Optional[str] = None,
     iter_offset: int = 0,
     steps_per_dispatch: int = 1,
+    shuffle_seed: int = 0,
 ):
     """Host-side driver (single process, single device).
 
@@ -301,7 +302,9 @@ def train_loop(
 
     iters = num_iters or cfg.iterations
     bg = jnp.ones(3) if cfg.white_background else jnp.zeros(3)
-    rng = np.random.default_rng(0)
+    # camera-shuffle stream; chunked callers pass a per-chunk seed so
+    # resumed runs don't replay the same permutation prefix every chunk
+    rng = np.random.default_rng(shuffle_seed)
     order = []
     history = []
     tb = TBLogger(tb_dir) if tb_dir else None
@@ -365,6 +368,7 @@ def train_loop(
         it = s + n - 1  # chunk-end global iter
         metrics = per_step[-1]
         if adaptive and it % 10 == 0:
+            skip_record = False
             # Budget adaptation: double on overflow, resize toward measured
             # utilization (tuned_pair_budget granules). Decisions consume
             # the PREVIOUS checkpoint's metrics (>= 10 steps stale): those
@@ -374,15 +378,22 @@ def train_loop(
                 ov_arr, pairs_arr, chk_it = pending_check
                 if int(ov_arr) > 0:
                     pair_budget *= 2
+                    skip_record = True  # see below
                 elif chk_it % 50 == 0:
                     want = tuned_pair_budget(int(pairs_arr))
                     if want > pair_budget or want < pair_budget * 2 // 3:
                         pair_budget = want
-            pending_check = (
-                jnp.max(jnp.stack([m["overflow"] for m in per_step])),
-                jnp.max(jnp.stack([m["num_pairs"] for m in per_step])),
-                it,
-            )
+            if skip_record:
+                # the chunk just finished was measured under the
+                # PRE-doubling budget; wait for a post-doubling chunk (a
+                # sustained overflow would otherwise double twice)
+                pending_check = None
+            else:
+                pending_check = (
+                    jnp.max(jnp.stack([m["overflow"] for m in per_step])),
+                    jnp.max(jnp.stack([m["num_pairs"] for m in per_step])),
+                    it,
+                )
         if tb and it % 10 == 0:
             # reference TB parity (train.py:182-187)
             tb.scalar("train/loss", metrics["loss"], it)

@@ -230,10 +230,15 @@ def main():
     t0 = time.time()
     while it_done < args.iters:
         n = min(chunk, args.iters - it_done)
+        # fold the chunk start into the RNG streams: a fixed key/seed
+        # would replay the same densify noise and camera-order prefix in
+        # every resumed chunk
+        chunk_key = jax.random.fold_in(key, it_done)
         state, hist = train_loop(
-            state, train_cams, cfg, key, scene_extent=scene_extent,
+            state, train_cams, cfg, chunk_key, scene_extent=scene_extent,
             num_iters=n, log_every=n, iter_offset=it_done,
             steps_per_dispatch=10, pair_budget=args.pair_budget,
+            shuffle_seed=it_done,
         )
         ov = max((int(m["overflow"]) for _, m in hist), default=0)
         if ov:
@@ -243,7 +248,6 @@ def main():
         tp = test_psnr(state) if it_done % 500 == 0 else (
             curve[-1]["test_psnr"] if curve else float("nan")
         )
-        tr = float(hist[-1][1]["psnr"]) if hist else float("nan")
         curve.append(
             dict(iter=it_done, alive=n_alive, test_psnr=tp,
                  capacity=int(state.params.capacity))
@@ -280,8 +284,9 @@ def main():
     alive0 = curve[0]["alive"]
     alive_15k = next(c["alive"] for c in curve if c["iter"] >= min(15000, args.iters))
     alive_end = curve[-1]["alive"]
-    psnr_first = curve[0]["test_psnr"]
-    psnr_end = curve[-1]["test_psnr"]
+    valid_psnrs = [c["test_psnr"] for c in curve if np.isfinite(c["test_psnr"])]
+    psnr_first = valid_psnrs[0] if valid_psnrs else float("nan")
+    psnr_end = valid_psnrs[-1] if valid_psnrs else float("nan")
 
     checks = dict(
         psnr_rises=psnr_end > psnr_first + 3.0,
@@ -289,6 +294,9 @@ def main():
         densify_grew=alive_15k > alive0 * 1.3,
         no_growth_after_window=(
             args.iters <= 15000 or alive_end <= alive_15k * 1.02
+        ),
+        opacity_resets_clamped=all(
+            rc["max_opacity"] <= 0.011 for rc in reset_checks
         ),
     )
     report = dict(
