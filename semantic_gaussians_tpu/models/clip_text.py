@@ -232,6 +232,13 @@ def _bytes_to_unicode():
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+@functools.lru_cache(maxsize=4)
+def _cached_tokenizer(bpe_path: str) -> "SimpleTokenizer":
+    """BPE vocab parse is ~49k merges — cache per path (the viewer calls
+    extract_text_feature on every client prompt)."""
+    return SimpleTokenizer(bpe_path)
+
+
 class SimpleTokenizer:
     """CLIP's BPE tokenizer (Radford et al.); requires the public
     bpe_simple_vocab_16e6.txt.gz merges file at `bpe_path`."""
@@ -309,7 +316,7 @@ def tokenize(
     texts: Sequence[str], bpe_path: str, context_length: int = CONTEXT_LENGTH
 ) -> np.ndarray:
     """[K, 77] int32 (SOT ... EOT, zero-padded), clip.tokenize parity."""
-    tok = SimpleTokenizer(bpe_path)
+    tok = _cached_tokenizer(str(bpe_path))
     out = np.zeros((len(texts), context_length), np.int32)
     for i, t in enumerate(texts):
         ids = [SOT_TOKEN] + tok.encode(t) + [EOT_TOKEN]

@@ -506,6 +506,7 @@ class LSegPredictor:
         variables: Optional[dict] = None,
         text_encoder=None,
         base_size: int = BASE_SIZE,
+        bpe_path: Optional[str] = None,
     ):
         self.cfg = cfg
         self.embedding_dim = cfg.out_ch
@@ -526,17 +527,16 @@ class LSegPredictor:
                     )
 
                     self.text_encoder = JaxCLIPTextEncoder(
-                        params=params_from_torch_state_dict(text_sd)
+                        params=params_from_torch_state_dict(text_sd),
+                        bpe_path=bpe_path,
                     )
         self.variables = variables
-        self._jit_cache: dict = {}
+        # jax.jit already specializes and caches per input shape
+        self._apply = jax.jit(lambda v, x: self.net.apply(v, x))
 
     def _run(self, hw: Tuple[int, int]):
-        if hw not in self._jit_cache:
-            self._jit_cache[hw] = jax.jit(
-                lambda v, x: self.net.apply(v, x)
-            )
-        return self._jit_cache[hw]
+        del hw
+        return self._apply
 
     def extract_image_feature(self, img_path, img_size=None) -> np.ndarray:
         """[H, W, 512] normalized features. Accepts a path or an RGB uint8/

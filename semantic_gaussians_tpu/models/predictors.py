@@ -90,7 +90,9 @@ class PrecomputedFeatureProvider:
             feat = np.asarray(feat.float())
         if feat.ndim != 3:
             raise ValueError(f"bad feature map shape {feat.shape}")
-        if feat.shape[0] == self.embedding_dim and feat.shape[-1] != self.embedding_dim:
+        # Reference exports are CHW; on the (rare) ambiguous C==H==dim case
+        # CHW wins. Only an unambiguous HWC map skips the transpose.
+        if feat.shape[0] == self.embedding_dim:
             feat = np.moveaxis(feat, 0, -1)  # CHW -> HWC
         if img_size is not None and (feat.shape[1], feat.shape[0]) != tuple(img_size):
             feat = _resize_chw_nearest(feat, img_size)
@@ -143,16 +145,23 @@ def make_predictor(name: str, cfg: dict) -> "Predictor2D":
         return PrecomputedFeatureProvider(
             cfg["feature_dir"], int(get("embedding_dim", 768))
         )
+    bpe = get("bpe_path")  # CLIP BPE vocab file for string text queries
     if name == "lseg":
         from .lseg import LSegPredictor
 
-        return LSegPredictor(checkpoint_path=cfg["lseg_checkpoint"])
+        return LSegPredictor(
+            checkpoint_path=cfg["lseg_checkpoint"], bpe_path=bpe
+        )
     if name == "samclip":
+        from .clip_text import JaxCLIPTextEncoder
         from .samclip import SAMCLIPPredictor
 
         return SAMCLIPPredictor(
             sam_checkpoint=cfg["sam_checkpoint"],
             clip_checkpoint=cfg["clip_checkpoint"],
+            text_encoder=JaxCLIPTextEncoder(
+                checkpoint_path=cfg["clip_checkpoint"], bpe_path=bpe
+            ),
         )
     if name == "vlpart":
         from .clip_text import JaxCLIPTextEncoder
@@ -162,7 +171,7 @@ def make_predictor(name: str, cfg: dict) -> "Predictor2D":
             PrecomputedDetections(cfg["detections_dir"]),
             sam_checkpoint=cfg["sam_checkpoint"],
             text_encoder=JaxCLIPTextEncoder(
-                checkpoint_path=cfg["clip_checkpoint"]
+                checkpoint_path=cfg["clip_checkpoint"], bpe_path=bpe
             ),
             vocabulary=list(get("vocabulary", [])) or None,
         )

@@ -67,11 +67,17 @@ def _linearize(coords: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     (the -2/+2 slack covers kernel-offset probes off the grid edge, which
     simply fail the join). x64 is disabled on TPU, hence the packed int32.
     """
-    c = jnp.clip(coords + 2, 0, (1 << GRID_BITS) - 1)
+    shifted = coords + 2
+    in_range = mask & jnp.all(
+        (shifted >= 0) & (shifted < (1 << GRID_BITS)), axis=-1
+    )
+    c = jnp.clip(shifted, 0, (1 << GRID_BITS) - 1)
     key = (
         (c[:, 0] << (2 * GRID_BITS)) | (c[:, 1] << GRID_BITS) | c[:, 2]
     ).astype(jnp.int32)
-    return jnp.where(mask, key, _BIG)
+    # off-grid probes get the sentinel so the join FAILS (clipping alone
+    # would alias a probe at -3 onto a real voxel at -2)
+    return jnp.where(in_range, key, _BIG)
 
 
 @jax.tree_util.register_dataclass
@@ -80,7 +86,7 @@ class LevelTopology:
     coords: jnp.ndarray  # [V, 3] int32
     mask: jnp.ndarray  # [V] bool
     nbr: jnp.ndarray  # [K, V] int32 neighbor row (V = missing) for k=3 conv
-    sorted_keys: jnp.ndarray  # [V] int64 (for joins)
+    sorted_keys: jnp.ndarray  # [V] int32 packed keys (for joins)
     sorted_perm: jnp.ndarray  # [V] int32
 
 
@@ -139,12 +145,15 @@ def _downsample(level: LevelTopology):
     # compact unique parents to the front
     dest = (jnp.cumsum(is_first.astype(jnp.int32)) - 1).astype(jnp.int32)
     n_parents = jnp.sum(is_first.astype(jnp.int32))
-    # compact unique parents to the front; non-first rows scatter 0 into
-    # their run, a no-op under max since coords are non-negative
-    parent_coords = jnp.zeros((v, 3), jnp.int32).at[dest].max(
-        jnp.where(is_first[:, None], pcoords[order], 0)
+    # compact unique parents to the front; non-first rows scatter the
+    # NEUTRAL (below any valid coord, which can be as low as -2) so max
+    # never corrupts a negative parent coord
+    neutral = jnp.int32(-(1 << 30))
+    parent_coords = jnp.full((v, 3), neutral, jnp.int32).at[dest].max(
+        jnp.where(is_first[:, None], pcoords[order], neutral)
     )
     parent_mask = jnp.arange(v) < n_parents
+    parent_coords = jnp.where(parent_mask[:, None], parent_coords, 0)
     # each child's parent row: run-id of its sorted position
     run_of_sorted = dest  # [V] in sorted order
     parent_of = jnp.zeros((v,), jnp.int32).at[order].set(run_of_sorted)
@@ -370,20 +379,21 @@ class MinkUNet(nn.Module):
         x3 = enc(x2, l2, l3, d23, planes[2], layers[2])
         x4 = enc(x3, l3, l4, d34, planes[3], layers[3])
 
-        def dec(x, skip, link, lvl_to, plane, n_blocks):
+        def dec(x, skip, link, lvl_to, plane, n_blocks, rows=None):
             y = SparseConvUp(plane)(x, link, lvl_to)
             y = MaskedBatchNorm()(y, lvl_to.mask, train)
             y = nn.relu(y)
             y = jnp.concatenate([y, skip], axis=-1)
             for _ in range(n_blocks):
-                y = BasicBlock(plane)(y, lvl_to, train)
+                y = BasicBlock(plane, rows=rows)(y, lvl_to, train)
             return y
 
         y3 = dec(x4, x3, d34, l3, planes[4], layers[4])
         y2 = dec(y3, x2, d23, l2, planes[5], layers[5])
         y1 = dec(y2, x1, d12, l1, planes[6], layers[6])
-        y0 = dec(y1, x0, d01, l0, planes[7], layers[7])
-        # level-0 decoder blocks use the 3^3 center of the stem's 5^3 map
+        # level-0 decoder blocks are k=3 (the 3^3 center rows of the stem's
+        # 5^3 neighbor map) — the stem conv alone is k=5 (mink_unet.py)
+        y0 = dec(y1, x0, d01, l0, planes[7], layers[7], rows=c27)
         out = nn.Dense(self.out_channels, use_bias=True)(y0)
         return out * l0.mask[:, None]
 
