@@ -73,6 +73,7 @@ def test_encoder_normalizes():
     np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_openai_naming_roundtrip():
     """OpenAI clip-style state_dict names convert to the same params as the
     equivalent HF names."""

@@ -151,6 +151,7 @@ def test_resize_bilinear_align_corners_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lseg_net_shapes_and_converter_roundtrip():
     """A tiny LSegNet runs end to end; a fake reference-named state_dict
     converts into a variable tree that apply() accepts and that changes

@@ -76,6 +76,7 @@ def test_vitdet_attention_matches_torch_mha_when_relpos_zero(rng):
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tiny_sam_shapes_and_finiteness(rng):
     cfg = SamConfig.tiny()
     model = Sam(cfg)
@@ -187,6 +188,7 @@ def _fake_sam_state_dict(cfg: SamConfig, rng):
     return d
 
 
+@pytest.mark.slow
 def test_sam_converter_structure_matches_init(rng):
     """Converted params must have EXACTLY the init tree (names + shapes),
     and the converted model must run."""
@@ -321,6 +323,7 @@ def test_clip_vision_matches_torch_attention(rng):
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_clip_vision_converter_roundtrip(rng):
     """OpenAI-layout synthetic visual.* state dict -> flax tree with the
     init structure; model runs."""
@@ -460,6 +463,7 @@ def test_vlpart_predictor_end_to_end(rng):
     assert (feats2 == 0).all()
 
 
+@pytest.mark.slow
 def test_sam_box_prompt_shapes(rng):
     cfg = SamConfig.tiny()
     model = Sam(cfg)

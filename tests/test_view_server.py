@@ -75,6 +75,7 @@ def _png_shape(data):
     return np.asarray(Image.open(io.BytesIO(data))).shape
 
 
+@pytest.mark.slow
 def test_all_render_modes(server):
     for mode in ("RGB", "Depth", "Semantic", "Relevancy"):
         q = f"mode={mode}&w=64&h=32"
