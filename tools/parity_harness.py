@@ -17,6 +17,16 @@ reference protocol guarantees:
   * Right after each opacity reset, max opacity <= 0.011 (reset clamps to
     0.01, one optimizer step may nudge it; gaussian_model.py:283-286).
 
+Reading the curve: PSNR samples land at iteration multiples of the chunk
+size, which coincide with densify events (every 100) and opacity resets
+(every 3000) — i.e. each sample is taken at the BOTTOM of the protocol's
+deliberate transients (clone doubles local alpha; reset clamps opacity to
+0.01). tools/densify_effect_cpu.py isolates this: one densify event drops
+test PSNR 27.30 -> 19.62 instantly and 100 training iters fully recover it
+(27.35). The reference behaves identically (its eval also runs after the
+same-iteration densify, train.py:154-197); only the final post-window
+values are fit quality.
+
 Usage: python tools/parity_harness.py [--iters 30000] [--out PARITY_HARNESS.json]
                                       [--state /tmp/parity_state.pkl]
 With --state, progress (train state + curve) checkpoints after every chunk
