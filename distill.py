@@ -16,10 +16,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 def main():
     import jax
 
-    if jax.default_backend() != "cpu":
-        # TPU-only: cached CPU executables are not portable across hosts
-        repo = pathlib.Path(__file__).resolve().parent
-        jax.config.update("jax_compilation_cache_dir", str(repo / ".jax_cache"))
+    from semantic_gaussians_tpu.utils.platform import setup_backend
+
+    setup_backend()  # SGTPU_PLATFORM=cpu escape hatch + TPU compile cache
 
     from semantic_gaussians_tpu.config.config import load_config, pretty
     from semantic_gaussians_tpu.data.feature_dataset import FeatureDataset
@@ -51,6 +50,13 @@ def main():
             plys.append(str(ply))
             fused.append(str(pt))
     print(f"distilling over {len(plys)} (scene, fusion-file) pairs")
+    if not plys:
+        raise SystemExit(
+            f"no (point_cloud.ply, fused .pt) pairs found under "
+            f"model_dir={model_dir} / fusion.out_dir={fusion_dir} — check "
+            f"that the fusion out_dir contains <scene>/*.pt matching the "
+            f"model_dir scene layout"
+        )
 
     ds = FeatureDataset(
         plys, fused,

@@ -20,10 +20,9 @@ import numpy as np
 def main():
     import jax
 
-    if jax.default_backend() != "cpu":
-        # TPU-only: cached CPU executables are not portable across hosts
-        repo = pathlib.Path(__file__).resolve().parent
-        jax.config.update("jax_compilation_cache_dir", str(repo / ".jax_cache"))
+    from semantic_gaussians_tpu.utils.platform import setup_backend
+
+    setup_backend()  # SGTPU_PLATFORM=cpu escape hatch + TPU compile cache
 
     import jax.numpy as jnp
 
@@ -35,7 +34,6 @@ def main():
         read_label_mapping,
     )
     from semantic_gaussians_tpu.core.gaussians import packed_features
-    from semantic_gaussians_tpu.data.fusion_utils import Voxelizer
     from semantic_gaussians_tpu.io.ply import load_gaussian_ply
     from semantic_gaussians_tpu.io.scene import load_scene, realize_camera
     from semantic_gaussians_tpu.models.predictors import (
@@ -45,13 +43,14 @@ def main():
     from semantic_gaussians_tpu.pipelines.distill import (
         load_distill_checkpoint,
     )
-    from semantic_gaussians_tpu.models.unet3d import build_topology, mink_unet
+    from semantic_gaussians_tpu.models.unet3d import mink_unet
     from semantic_gaussians_tpu.pipelines.eval_segmentation import (
         EvalAccumulator,
         ensemble_features,
         eval_views,
         text_feature_matrix,
         voxel_feats_to_gaussians,
+        voxelize_for_net,
     )
     from semantic_gaussians_tpu.pipelines.fusion import load_fused_features
     from semantic_gaussians_tpu.utils.checkpoint import latest_iteration
@@ -106,23 +105,18 @@ def main():
         n_alive = int(np.asarray(alive).sum())
         locs = np.asarray(params.means)[:n_alive]
         pf = np.asarray(packed_features(params, alive, dcfg.get("feature_type", "all")))[:n_alive]
-        vox = Voxelizer(voxel_size=float(dcfg.get("voxel_size", 0.02)))
-        vc, vf, _, inverse, _ = vox.voxelize(locs, pf)
         budget = int(cfg.distill.get("voxel_budget", 200_000))
-        v = min(len(vc), budget)
-        coords = np.zeros((budget, 3), np.int32)
-        coords[:v] = vc[:v]
-        feats_in = np.zeros((budget, pf.shape[-1]), np.float32)
-        feats_in[:v] = vf[:v]
-        mask = np.arange(budget) < v
+        feats_in, topo, inverse, num_valid = voxelize_for_net(
+            locs, pf, float(dcfg.get("voxel_size", 0.02)), budget
+        )
         model = mink_unet(
             pf.shape[-1], int(cfg.fusion.get("embedding_dim", 768)),
             dcfg.get("model_3d", "MinkUNet34A"),
         )
-        topo = build_topology(jnp.asarray(coords), jnp.asarray(mask))
-        vout = model.apply(variables, jnp.asarray(feats_in), topo, train=False)
+        vout = model.apply(variables, feats_in, topo, train=False)
         feats_3d = voxel_feats_to_gaussians(
-            np.asarray(vout), inverse, n_alive, params.capacity
+            np.asarray(vout), inverse, n_alive, params.capacity,
+            num_valid=num_valid,
         )
 
     gauss_feats = None

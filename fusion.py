@@ -15,10 +15,9 @@ import numpy as np
 def main():
     import jax
 
-    if jax.default_backend() != "cpu":
-        # TPU-only: cached CPU executables are not portable across hosts
-        repo = pathlib.Path(__file__).resolve().parent
-        jax.config.update("jax_compilation_cache_dir", str(repo / ".jax_cache"))
+    from semantic_gaussians_tpu.utils.platform import setup_backend
+
+    setup_backend()  # SGTPU_PLATFORM=cpu escape hatch + TPU compile cache
 
     from semantic_gaussians_tpu.config.config import load_config, pretty
     from semantic_gaussians_tpu.io.ply import load_gaussian_ply

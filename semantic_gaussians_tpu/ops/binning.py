@@ -229,9 +229,8 @@ def band_pair_budget(capacity: int, nband: int) -> int:
     """Per-band static budget: 2x headroom over the even 1/nband split of
     the full-image budget (clustered splats would overflow an even split),
     ceiled to 8k granules."""
-    return max(
-        8192, -(-default_pair_budget(capacity) * 2 // nband) // 8192 * 8192
-    )
+    per_band = -(-default_pair_budget(capacity) * 2 // nband)
+    return max(8192, -(-per_band // 8192) * 8192)
 
 
 def default_pair_budget(n: int, avg_tiles_per_gaussian: int = 12) -> int:

@@ -179,6 +179,10 @@ def rasterize(
     Returns dict(render [H,W,C], depth [H,W], final_T [H,W],
     n_contrib [H,W] int32, overflow [] int32).
     """
+    # Callers may pass tile_shape=None for "library default" (the pipeline
+    # CLIs do); normalize before unpacking so both backends accept it.
+    tile_shape = tile_shape or DEFAULT_TILE
+
     if backend == "dense":
         out = rasterize_dense(proj, img_width, img_height, bg, tile_shape)
         out["overflow"] = jnp.zeros((), jnp.int32)

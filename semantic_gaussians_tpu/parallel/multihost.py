@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
@@ -112,13 +112,6 @@ def make_view_band_mesh(
         )
     arr = np.array(devs).reshape(nproc, len(devs) // nproc)
     return Mesh(arr, (axis_view, axis_band))
-
-
-def shard_views_to_processes(items: Sequence, n_take: int) -> list:
-    """Pick this process's `n_take` entries from a per-step view list
-    (round-robin by process index; hosts feed disjoint views)."""
-    pid, nproc = jax.process_index(), jax.process_count()
-    return [items[(i * nproc + pid) % len(items)] for i in range(n_take)]
 
 
 def global_batch_from_local(local_tree, mesh: Mesh, axis: str):

@@ -187,27 +187,18 @@ def make_eval_render_hook(
     from PIL import Image
 
     from ..core.gaussians import packed_features
-    from ..data.fusion_utils import Voxelizer
     from ..data.scannet_constants import COLORMAP
     from ..io.ply import load_gaussian_ply
-    from ..models.unet3d import build_topology
     from ..renderer import render
-    from .eval_segmentation import voxel_feats_to_gaussians
+    from .eval_segmentation import voxel_feats_to_gaussians, voxelize_for_net
 
     params, alive = load_gaussian_ply(ply_path)
     n_alive = int(np.asarray(alive).sum())
     locs = np.asarray(params.means)[:n_alive]
     pf = np.asarray(packed_features(params, alive, feature_type))[:n_alive]
-    vox = Voxelizer(voxel_size=voxel_size)
-    vc, vf, _, inverse, _ = vox.voxelize(locs, pf)
-    v = min(len(vc), voxel_budget)
-    coords = np.zeros((voxel_budget, 3), np.int32)
-    coords[:v] = vc[:v]
-    feats_in = np.zeros((voxel_budget, pf.shape[-1]), np.float32)
-    feats_in[:v] = vf[:v]
-    mask = np.arange(voxel_budget) < v
-    topo = build_topology(jnp.asarray(coords), jnp.asarray(mask))
-    feats_in = jnp.asarray(feats_in)
+    feats_in, topo, inverse, num_valid = voxelize_for_net(
+        locs, pf, voxel_size, voxel_budget
+    )
 
     text = np.asarray(text_features, np.float32)
     text = text / np.maximum(np.linalg.norm(text, axis=-1, keepdims=True), 1e-8)
@@ -220,7 +211,8 @@ def make_eval_render_hook(
     def hook(epoch, model, variables):
         vout = model.apply(variables, feats_in, topo, train=False)
         gfeat = voxel_feats_to_gaussians(
-            np.asarray(vout), inverse, n_alive, params.capacity
+            np.asarray(vout), inverse, n_alive, params.capacity,
+            num_valid=num_valid,
         )
         g = jnp.asarray(gfeat)
         g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-8)

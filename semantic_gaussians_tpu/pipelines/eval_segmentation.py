@@ -97,13 +97,56 @@ def ensemble_argmax_class(
 
 
 def voxel_feats_to_gaussians(
-    voxel_feats: np.ndarray, inverse: np.ndarray, n_gaussians: int, cap: int
+    voxel_feats: np.ndarray,
+    inverse: np.ndarray,
+    n_gaussians: int,
+    cap: int,
+    num_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     """Scatter per-voxel UNet outputs back to per-Gaussian features via the
-    voxelizer's point->voxel map (eval '3d' mode)."""
-    out = np.zeros((cap, voxel_feats.shape[-1]), np.float32)
-    out[:n_gaussians] = np.asarray(voxel_feats)[inverse[:n_gaussians]]
+    voxelizer's point->voxel map (eval '3d' mode). Gaussians mapped to a
+    voxel id >= num_valid (dropped by the static voxel budget) receive a
+    zero feature row instead of indexing out of bounds."""
+    vf = np.asarray(voxel_feats)
+    inv = np.asarray(inverse[:n_gaussians])
+    if num_valid is not None and inv.size and int(inv.max(initial=0)) >= num_valid:
+        vf = np.concatenate([vf, np.zeros((1, vf.shape[-1]), vf.dtype)])
+        inv = np.where(inv < num_valid, inv, len(vf) - 1)
+    out = np.zeros((cap, vf.shape[-1]), np.float32)
+    out[:n_gaussians] = vf[inv]
     return jnp.asarray(out)
+
+
+def voxelize_for_net(
+    locs: np.ndarray,  # [N, 3] world positions (alive prefix)
+    point_feats: np.ndarray,  # [N, F] packed Gaussian features
+    voxel_size: float,
+    voxel_budget: int,
+):
+    """Voxelize points and pad to the static voxel budget for the sparse
+    UNet: returns (feats_in [budget, F] jnp, topo, inverse [N] np,
+    num_valid). Shared by the eval '3d'/'2d_and_3d' modes and distill's
+    periodic eval render. Voxels beyond the budget are DROPPED (warned);
+    pass num_valid to voxel_feats_to_gaussians so affected Gaussians get
+    zero features rather than an out-of-bounds gather."""
+    from ..data.fusion_utils import Voxelizer
+    from ..models.unet3d import build_topology
+
+    vox = Voxelizer(voxel_size=voxel_size)
+    vc, vf, _, inverse, _ = vox.voxelize(locs, point_feats)
+    v = min(len(vc), voxel_budget)
+    if len(vc) > voxel_budget:
+        print(
+            f"WARNING: {len(vc) - voxel_budget} voxels over the "
+            f"{voxel_budget} budget dropped (raise distill.voxel_budget)"
+        )
+    coords = np.zeros((voxel_budget, 3), np.int32)
+    coords[:v] = vc[:v]
+    feats_in = np.zeros((voxel_budget, point_feats.shape[-1]), np.float32)
+    feats_in[:v] = vf[:v]
+    mask = np.arange(voxel_budget) < v
+    topo = build_topology(jnp.asarray(coords), jnp.asarray(mask))
+    return jnp.asarray(feats_in), topo, inverse, v
 
 
 @dataclasses.dataclass

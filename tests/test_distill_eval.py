@@ -151,3 +151,27 @@ def test_distill_eval_render_hook(tmp_path, rng):
     assert img.shape == (32, 64, 3)
     # rendered classes come from the palette (non-degenerate output)
     assert img.max() > 0
+
+
+def test_voxel_budget_overflow_scatters_zero(rng):
+    """Scenes with more occupied voxels than the static budget must drop the
+    tail gracefully: affected Gaussians get zero features, never an OOB
+    gather (regression: IndexError in eval '3d' / distill eval hook)."""
+    from semantic_gaussians_tpu.pipelines.eval_segmentation import (
+        voxel_feats_to_gaussians,
+        voxelize_for_net,
+    )
+
+    n = 3000
+    locs = rng.uniform(0, 1.0, (n, 3)).astype(np.float32)  # dense occupancy
+    pf = rng.normal(size=(n, 8)).astype(np.float32)
+    feats_in, topo, inverse, v = voxelize_for_net(locs, pf, 0.05, 512)
+    assert v == 512 and int(inverse.max()) >= 512  # genuinely overflowing
+    vout = rng.normal(size=(512, 4)).astype(np.float32)
+    g = np.asarray(
+        voxel_feats_to_gaussians(vout, inverse, n, n + 10, num_valid=v)
+    )
+    dropped = inverse[:n] >= v
+    assert dropped.any()
+    assert np.all(g[:n][dropped] == 0)
+    assert np.allclose(g[:n][~dropped], vout[inverse[:n][~dropped]])

@@ -223,9 +223,6 @@ def test_multihost_helpers_single_process():
     assert mesh.shape["view"] == 1 and mesh.shape["band"] == len(jax.devices())
     mesh1 = multihost.make_data_mesh()
     assert mesh1.shape["data"] == len(jax.devices())
-    # round-robin view pick
-    picks = multihost.shard_views_to_processes(list(range(10)), 3)
-    assert picks == [0, 1, 2]
     # global batch from local (single-process: device_put path)
     tree = {"x": np.ones((1, 4), np.float32)}
     out = multihost.global_batch_from_local(tree, mesh, "view")

@@ -93,6 +93,19 @@ def test_forward_nontrivial():
     assert np.isfinite(img).all()
 
 
+def test_tile_shape_none_uses_default():
+    # Pipeline CLIs pass tile_shape=None for "library default"; the pallas
+    # path must not unpack None (regression: eval/fusion CLI crash).
+    s = make_scene()
+    proj = project(s)
+    bg = jnp.zeros(3)
+    out_none = rasterize(proj, bg, W, H, None, backend="pallas")
+    out_def = rasterize(proj, bg, W, H, backend="pallas")
+    np.testing.assert_array_equal(
+        np.asarray(out_none["render"]), np.asarray(out_def["render"])
+    )
+
+
 @pytest.mark.parametrize("wrt", ["means", "scales", "quats", "opac", "color"])
 def test_gradients_match_oracle(wrt):
     s = make_scene(n=200)

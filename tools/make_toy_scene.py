@@ -11,9 +11,9 @@ import numpy as np
 
 
 def main(out_dir, n_cams=6, w=128, h=96, n_gauss=300, seed=3):
-    import jax
-    if jax.default_backend() != "cpu":
-        pass  # fine either way
+    from semantic_gaussians_tpu.utils.platform import setup_backend
+
+    setup_backend()  # honors SGTPU_PLATFORM=cpu
     from PIL import Image
 
     from semantic_gaussians_tpu.core.gaussians import init_from_pcd

@@ -146,12 +146,12 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir", str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache")
-    )
+    from semantic_gaussians_tpu.utils.platform import setup_backend
+
+    setup_backend()  # honors SGTPU_PLATFORM=cpu; enables TPU compile cache
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
 
     from semantic_gaussians_tpu.core.gaussians import init_from_pcd
     from semantic_gaussians_tpu.pipelines.train import (
