@@ -20,6 +20,13 @@ from .augmentation import Compose, ElasticDistortion, RandomHorizontalFlip
 from .fusion_utils import Voxelizer
 
 
+def _fold(seed: Optional[int], stream: int) -> Optional[int]:
+    """Derive an independent RNG stream per augmentation stage."""
+    if seed is None:
+        return None
+    return int(np.random.SeedSequence([seed, stream]).generate_state(1)[0])
+
+
 @dataclasses.dataclass
 class DistillItem:
     coords: np.ndarray  # [V, 3] int32 voxel coords (padded)
@@ -72,7 +79,10 @@ class FeatureDataset:
         gt_mask = np.asarray(gt_mask)[:n_alive]
 
         if self.prevox_aug is not None:
-            locs, _, _ = self.prevox_aug(locs, seed=seed)
+            # distinct stream from the post-voxelize aug: the same seed
+            # would correlate the two apply-gates (flip fires iff elastic
+            # fires) and alias their noise draws
+            locs, _, _ = self.prevox_aug(locs, seed=_fold(seed, 1))
 
         vcoords, vfeats, _, inverse, first_idx = self.voxelizer.voxelize(
             locs, feats, seed=seed
@@ -85,7 +95,7 @@ class FeatureDataset:
 
         if self.postvox_aug is not None:
             vcoords, _, _ = self.postvox_aug(
-                vcoords.astype(np.float64), seed=seed
+                vcoords.astype(np.float64), seed=_fold(seed, 2)
             )
             vcoords = vcoords.astype(np.int64)
             vcoords -= vcoords.min(0)
@@ -93,8 +103,15 @@ class FeatureDataset:
         v = len(vcoords)
         budget = self.voxel_budget
         if v > budget:
-            vcoords, vfeats = vcoords[:budget], vfeats[:budget]
-            vgt, vgt_mask = vgt[:budget], vgt_mask[:budget]
+            # RANDOM subset, reseeded per epoch: voxelize's sorted-unique
+            # order is spatial (x-major), so a prefix truncation would drop
+            # the same wall of the room from supervision every epoch
+            keep = np.random.default_rng(_fold(seed, 3)).choice(
+                v, budget, replace=False
+            )
+            keep.sort()
+            vcoords, vfeats = vcoords[keep], vfeats[keep]
+            vgt, vgt_mask = vgt[keep], vgt_mask[keep]
             v = budget
 
         def pad(x, dtype):

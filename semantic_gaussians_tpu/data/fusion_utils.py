@@ -89,13 +89,17 @@ def surface_depth(
     intrinsic: jnp.ndarray,
     image_dim: Tuple[int, int],
     cut_bound: int = 0,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Synthesize a z-buffer from the points themselves (depth='surface',
     fusion_utils.py:57-61): per-pixel min depth via scatter-min.
 
     Exact-parity masks: only points with z > 0.2 that pass the cut_bound
     inside-bounds test contribute to the pseudo z-buffer (the reference's
-    loop condition `p[2,i] > 0.2 and inside_mask[i]`)."""
+    loop condition `p[2,i] > 0.2 and inside_mask[i]`). `valid` masks out
+    capacity-padding / dead slots (the reference operates on unpadded
+    arrays): an inert slot parked at the origin would otherwise write a
+    bogus near depth and occlude every real point behind its pixel."""
     w, h = image_dim
     p = coords @ world_to_camera[:3, :3].T + world_to_camera[:3, 3]
     z = p[:, 2]
@@ -113,6 +117,8 @@ def surface_depth(
         & (v < h - cut_bound)
         & (z > 0.2)
     )
+    if valid is not None:
+        ok = ok & valid
     idx = jnp.where(ok, v * w + u, h * w)  # out-of-range dropped
     buf = jnp.full((h * w + 1,), jnp.inf)
     buf = buf.at[idx].min(jnp.where(ok, z, jnp.inf))

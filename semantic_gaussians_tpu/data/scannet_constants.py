@@ -69,12 +69,17 @@ def map_label_image(
     Matches render_utils.get_mapped_label semantics (render_utils.py:43-55
     with the +1-offset convention resolved to 0-based train ids here).
     """
-    lut = np.full(int(max(mapping.keys(), default=0)) + 1, num_classes + 1,
-                  np.int64)
+    lut = np.full(
+        int(max(mapping.keys(), default=0)) + 1, num_classes, np.int64
+    )
     for k, v in mapping.items():
         lut[k] = v
-    out = lut[np.clip(label_img.astype(np.int64), 0, len(lut) - 1)]
-    return out
+    raw = label_img.astype(np.int64)
+    out = lut[np.clip(raw, 0, len(lut) - 1)]
+    # raw ids beyond the TSV range (corrupt pixels, newer annotations) are
+    # unlabeled — clipping alone would alias them to the largest TSV id's
+    # class and poison the confusion matrix with confidently-wrong GT
+    return np.where((raw < 0) | (raw >= len(lut)), num_classes, out)
 
 
 def render_palette(label_img: np.ndarray, num_classes: int) -> np.ndarray:

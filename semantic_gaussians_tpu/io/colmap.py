@@ -126,13 +126,19 @@ def read_cameras_text(path) -> Dict[int, ColmapCamera]:
 
 
 def read_images_text(path) -> Dict[int, ColmapImage]:
+    # Pairs of (header, POINTS2D) lines; the POINTS2D line may be EMPTY for
+    # unregistered/filtered images, so blank lines must be kept (only
+    # dropping them before the first header) or the 2-line pairing derails
+    # (colmap_loader.py:159-177 reads the second line unconditionally).
     images = {}
     lines = [
-        l.strip()
-        for l in open(path)
-        if l.strip() and not l.strip().startswith("#")
+        l.strip() for l in open(path) if not l.strip().startswith("#")
     ]
-    for i in range(0, len(lines), 2):  # every other line is 2D points
+    while lines and not lines[0]:
+        lines.pop(0)
+    for i in range(0, len(lines) - 0, 2):
+        if not lines[i]:
+            continue  # trailing blank line(s)
         parts = lines[i].split()
         images[int(parts[0])] = ColmapImage(
             int(parts[0]),

@@ -100,7 +100,12 @@ def read_ply_raw(path):
 def write_ply(path, vertex: np.ndarray, element: str = "vertex"):
     """Write one structured array as binary_little_endian PLY."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    rev = {v: k for k, v in _PLY_DTYPES.items()}
+    # canonical spec names only (the dict also carries aliases like
+    # 'float32'; last-wins reversal would emit non-spec 'property float32 x'
+    # headers that strict third-party readers reject)
+    canonical = ["float", "double", "uchar", "char", "short", "ushort",
+                 "int", "uint"]
+    rev = {_PLY_DTYPES[k]: k for k in canonical}
     with open(path, "wb") as f:
         lines = ["ply", "format binary_little_endian 1.0",
                  f"element {element} {len(vertex)}"]

@@ -170,7 +170,7 @@ def load_colmap_scene(
     else:
         train, test = infos, []
 
-    ply_path = path / "sparse" / "0" / "points3D.ply"
+    ply_path = sparse / "points3D.ply"  # same model dir the .bin came from
     if pts3d is not None:
         pts, cols, _ = pts3d
         nrm = np.zeros_like(pts)
@@ -179,7 +179,7 @@ def load_colmap_scene(
     else:
         pts, cols, nrm = _random_pcd_from_cameras(infos)
     return SceneInfo(
-        pts, cols, np.zeros_like(pts), train, test, nerfpp_norm(train), None
+        pts, cols, nrm, train, test, nerfpp_norm(train), None
     )
 
 

@@ -120,9 +120,21 @@ def bin_gaussians(
         num_keys=1,
         is_stable=True,
     )
-    cum = jnp.cumsum(counts_d)  # inclusive
-    total = cum[-1]
-    offsets = cum - counts_d  # exclusive
+    # Prefix-sum in f32, not i32: a divergent phase can touch >2^31 pairs
+    # (1M gaussians x full grid), and a wrapped i32 cumsum corrupts BOTH the
+    # overflow signal (total<0 -> overflow=0, silent empty render) and the
+    # seed scatter below (negative offsets index numpy-style from the END
+    # of the seed array). f32 partial sums are exact below 2^24 — every
+    # offset that matters (< pair_budget, asserted) — and stay monotone
+    # >= 2^24 beyond, so clamping to the budget is always correct. The
+    # overflow COUNT is approximate past 2^24 dropped pairs (a signal, not
+    # bookkeeping).
+    assert pair_budget < (1 << 24), "pair budget exceeds f32-exact range"
+    cumf = jnp.cumsum(counts_d.astype(jnp.float32))  # inclusive
+    total = jnp.minimum(cumf[-1], 2.0**31 - 128).astype(jnp.int32)
+    offsets = jnp.minimum(cumf - counts_d, pair_budget + 1).astype(
+        jnp.int32
+    )  # exclusive, clamped into [0, budget+1)
 
     pair_idx = jnp.arange(pair_budget, dtype=jnp.int32)
     # Depth-ranked gaussian owning each pair slot: scatter each gaussian's

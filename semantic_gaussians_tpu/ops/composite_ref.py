@@ -68,7 +68,7 @@ def rasterize_dense(
         tile_iy = (px_y / th).astype(jnp.int32)
 
     def step(state, row):
-        T, C, D, done, n_contrib = state
+        T, C, D, done, n_contrib, walk = state
         mean2d, conic, o, color, depth, rect_xy = row
         dx = mean2d[0] - px_x
         dy = mean2d[1] - px_y
@@ -107,8 +107,20 @@ def rasterize_dense(
         D = jnp.where(median_hit, depth, D)
         T = jnp.where(contribute, test_T, T)
         done = done | terminate
-        n_contrib = jnp.where(contribute, n_contrib + 1, n_contrib)
-        return (T, C, D, done, n_contrib), None
+        # CUDA semantics (forward.cu:330, :368-371): `contributor` counts
+        # every pair WALKED in the pixel's list (in_rect when tiled), and
+        # n_contrib records that 1-based index at the last contribution —
+        # NOT the number of contributors. Keeps the oracle bit-comparable
+        # with the Pallas kernel's last_contributor output.
+        if tile_shape is not None:
+            # zero-extent (culled) entries emit no pairs in the kernel, so
+            # they never advance the per-tile walk there either
+            in_list = in_rect & (rect_xy[0] > 0) & (rect_xy[1] > 0)
+            walk = walk + in_list.astype(jnp.int32)
+        else:
+            walk = walk + jnp.ones((), jnp.int32)
+        n_contrib = jnp.where(contribute, walk, n_contrib)
+        return (T, C, D, done, n_contrib, walk), None
 
     init = (
         jnp.ones((img_height, img_width), jnp.float32),
@@ -116,8 +128,13 @@ def rasterize_dense(
         jnp.full((img_height, img_width), MEDIAN_DEPTH_INIT, jnp.float32),
         jnp.zeros((img_height, img_width), bool),
         jnp.zeros((img_height, img_width), jnp.int32),
+        (
+            jnp.zeros((img_height, img_width), jnp.int32)
+            if tile_shape is not None
+            else jnp.zeros((), jnp.int32)
+        ),
     )
-    (T, C, D, _, n_contrib), _ = jax.lax.scan(
+    (T, C, D, _, n_contrib, _), _ = jax.lax.scan(
         step, init, (means2d, conics, opac, colors, depths, radii_xy)
     )
     render = C + T[..., None] * bg[None, None, :]

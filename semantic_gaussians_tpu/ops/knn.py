@@ -76,7 +76,15 @@ def knn_mean_sq_dist(
 
         init = jnp.full((qb.shape[0], k), _NEG_BIG, qb.dtype)
         best, _ = jax.lax.scan(scan_body, init, (p_blocks, psq_blocks, idx_blocks))
-        return jnp.mean(best, axis=-1)
+        # Fewer than k real neighbors (tiny clouds): slots keep the pad/init
+        # sentinels (>=~1e15); average the REAL neighbors only instead of
+        # returning ~1e30 (which exploded init scales to exp(34) world
+        # units). No neighbors at all -> tiny positive (reference clamps
+        # dist2 to >=1e-7, gaussian_model.py:172).
+        real = best < 1e14
+        cnt = jnp.sum(real, axis=-1)
+        s = jnp.sum(jnp.where(real, best, 0.0), axis=-1)
+        return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), 1e-7)
 
     out = jax.vmap(per_query_block)(q_blocks, qidx_blocks)
     return out.reshape(nq)[:n]

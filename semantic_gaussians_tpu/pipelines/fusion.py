@@ -130,7 +130,7 @@ def fuse_scene(
         elif cfg.depth == "surface":
             depth_map = surface_depth(
                 cam.world_view, params.means, intrinsic, cfg.img_dim,
-                cfg.cut_boundary,
+                cfg.cut_boundary, valid=alive,
             )
         elif cfg.depth in (None, "none", "None"):
             depth_map = None

@@ -81,6 +81,11 @@ def test_forward_matches_oracle():
         np.asarray(tiled["depth"]), np.asarray(dense["depth"]),
         rtol=1e-4, atol=1e-4,
     )
+    # n_contrib is the 1-based per-tile walk index of the LAST contributor
+    # (CUDA last_contributor semantics) on both backends
+    np.testing.assert_array_equal(
+        np.asarray(tiled["n_contrib"]), np.asarray(dense["n_contrib"])
+    )
 
 
 def test_forward_nontrivial():
