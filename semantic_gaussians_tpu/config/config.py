@@ -35,10 +35,14 @@ class DotDict(dict):
         return obj
 
     def to_dict(self):
-        return {
-            k: (v.to_dict() if isinstance(v, DotDict) else v)
-            for k, v in self.items()
-        }
+        def un(v):
+            if isinstance(v, DotDict):
+                return v.to_dict()
+            if isinstance(v, list):  # lists of mappings must unwrap too
+                return [un(x) for x in v]
+            return v
+
+        return {k: un(v) for k, v in self.items()}
 
 
 def load_yaml(path) -> DotDict:

@@ -123,7 +123,11 @@ def _build_level(coords, mask, kernel_size=3) -> LevelTopology:
         nk = _linearize(coords + offset[None, :], mask)
         pos = jnp.searchsorted(sorted_keys, nk).astype(jnp.int32)
         pos_c = jnp.clip(pos, 0, v - 1)
-        found = (sorted_keys[pos_c] == nk) & mask
+        # nk != _BIG: an off-grid probe's sentinel would otherwise MATCH a
+        # masked-out padding row's sentinel key and join a live voxel to a
+        # dead row (whose feature row is caller-controlled, not the
+        # guaranteed-zero missing-row V)
+        found = (sorted_keys[pos_c] == nk) & mask & (nk != _BIG)
         return jnp.where(found, perm[pos_c], v).astype(jnp.int32)
 
     nbr = jax.vmap(find)(jnp.asarray(offs))  # [K, V]

@@ -105,26 +105,33 @@ def render(
         # Debug-snapshot parity with the reference rasterizer's
         # snapshot_fw.dump on CUDA exceptions (channel __init__.py:86-100):
         # if the render goes non-finite, dump all inputs for offline repro.
+        # jax.debug.callback (not np.asarray) so the flag also works inside
+        # the always-jitted production paths — the one place it's needed;
+        # materializing a tracer here raised TracerArrayConversionError.
         import numpy as _np
 
-        img = _np.asarray(out["render"])
-        if not _np.isfinite(img).all():
+        def _snapshot(img, **arrays):
+            if _np.isfinite(img).all():
+                return
             path = "/tmp/sgtpu_snapshot_fw.npz"
-            _np.savez(
-                path,
-                means=_np.asarray(params.means),
-                log_scales=_np.asarray(params.log_scales),
-                quats=_np.asarray(params.quats),
-                opacity_logits=_np.asarray(params.opacity_logits),
-                sh_dc=_np.asarray(params.sh_dc),
-                sh_rest=_np.asarray(params.sh_rest),
-                world_view=_np.asarray(camera.world_view),
-                full_proj=_np.asarray(camera.full_proj),
-                bg=_np.asarray(bg),
-            )
+            _np.savez(path, **arrays)
             raise FloatingPointError(
                 f"non-finite render; inputs snapshotted to {path}"
             )
+
+        jax.debug.callback(
+            _snapshot,
+            out["render"],
+            means=params.means,
+            log_scales=params.log_scales,
+            quats=params.quats,
+            opacity_logits=params.opacity_logits,
+            sh_dc=params.sh_dc,
+            sh_rest=params.sh_rest,
+            world_view=camera.world_view,
+            full_proj=camera.full_proj,
+            bg=bg,
+        )
     return out
 
 

@@ -57,7 +57,11 @@ def evaluate_confusion(
         out = get_iou(i, confusion)
         row_sum = confusion[i, :].sum()
         accs[i] = confusion[i, i] / max(float(row_sum), 1.0)
-        if out is not False:
+        # Reference protocol (metric.py:56): classes with ZERO ground-truth
+        # points are skipped entirely — a predicted-but-absent class must
+        # not drag a 0 into mean IoU/Acc or the numbers stop being
+        # comparable with published results.
+        if out is not False and row_sum > 0:
             ious[i], tp, denom = out
             valid[i] = True
             lines.append(

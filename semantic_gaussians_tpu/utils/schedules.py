@@ -26,8 +26,12 @@ def expon_lr_schedule(
         else:
             delay_rate = 1.0
         t = jnp.clip(step / max_steps, 0.0, 1.0)
+        # lr_final == 0 would make log(0) * t = -inf * 0 = NaN at t == 0
+        # (the very first step), poisoning the whole parameter group; decay
+        # toward a tiny positive floor instead (indistinguishable at f32).
+        lr_final_safe = max(lr_final, 1e-30)  # f32-normal (XLA flushes subnormals)
         log_lerp = jnp.exp(
-            jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t
+            jnp.log(lr_init) * (1 - t) + jnp.log(lr_final_safe) * t
         )
         lr = delay_rate * log_lerp
         # Reference returns 0 when step < 0 or lr_init == 0 (disabled groups).

@@ -174,3 +174,35 @@ def test_logging_utils(tmp_path):
     with t:
         pass
     assert t.value is not None and t.value >= 0
+
+
+def test_debug_snapshot_works_under_jit(rng, tmp_path):
+    """debug=True must work inside jit (the production paths are always
+    jitted): finite renders pass through; a non-finite render dumps the
+    input snapshot and errors (regression: TracerArrayConversionError)."""
+    pts = rng.normal(size=(40, 3)).astype(np.float32) + [0, 0, 4]
+    cols = rng.uniform(size=(40, 3)).astype(np.float32)
+    params, alive = init_from_pcd(pts, cols)
+    cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.9, 48, 32)
+
+    @jax.jit
+    def f(p):
+        return render(cam, p, alive=alive, backend="dense", debug=True)[
+            "render"
+        ]
+
+    assert np.isfinite(np.asarray(f(params))).all()
+
+    import os
+
+    snap = "/tmp/sgtpu_snapshot_fw.npz"
+    if os.path.exists(snap):
+        os.remove(snap)
+    bad = dataclasses.replace(
+        params, means=params.means.at[0, 0].set(jnp.nan)
+    )
+    with pytest.raises(Exception, match="non-finite render"):
+        np.asarray(f(bad))
+    assert os.path.exists(snap)
+    dump = np.load(snap)
+    assert "means" in dump and "world_view" in dump

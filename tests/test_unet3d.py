@@ -109,3 +109,26 @@ def test_unet_train_mode_updates_stats():
     # running stats moved away from init
     leaf = jax.tree.leaves(mutated["batch_stats"])[0]
     assert np.abs(np.asarray(leaf)).sum() > 0
+
+
+def test_offgrid_probe_never_joins_dead_row():
+    """A live voxel at the grid edge probing OFF-grid must join the
+    missing-sentinel row V, never a masked-out padding row (whose sentinel
+    key equals the off-grid probe's sentinel; regression)."""
+    from semantic_gaussians_tpu.models.unet3d import _build_level
+
+    coords = jnp.asarray([[-2, 0, 0], [0, 0, 0], [0, 0, 0]], jnp.int32)
+    mask = jnp.asarray([True, True, False])  # row 2 is dead padding
+    lvl = _build_level(coords, mask, kernel_size=3)
+    v = coords.shape[0]
+    nbr = np.asarray(lvl.nbr)  # [27, V]
+    # offset (-1,0,0) probes coord (-3,0,0): off-grid for row 0
+    offs = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)]
+    k_minus_x = offs.index((-1, 0, 0))
+    assert nbr[k_minus_x, 0] == v  # miss, NOT the dead row index 2
+    # dead rows never join anything; nothing joins the dead row
+    assert (nbr[:, 2] == v).all()
+    assert not (nbr[:, :2] == 2).any()
+    # sanity: the center offset joins each live row to itself
+    k_center = offs.index((0, 0, 0))
+    assert nbr[k_center, 0] == 0 and nbr[k_center, 1] == 1
