@@ -127,10 +127,17 @@ def main():
 
     # chunked driver: snapshot / checkpoint / evaluate at milestone iters
     done = 0
+    # Milestones beyond the requested iteration count (e.g. the yaml's
+    # default test/save lists when iterations is overridden down) must not
+    # extend training past it (ref train.py trains exactly `iterations`).
     milestones = sorted(
         set(
-            list(save_iters) + list(ckpt_iters) + list(test_iters)
-            + [int(t.iterations)]
+            i
+            for i in (
+                list(save_iters) + list(ckpt_iters) + list(test_iters)
+                + [int(t.iterations)]
+            )
+            if i <= int(t.iterations)
         )
     )
     if distributed:
