@@ -110,6 +110,30 @@ def main():
 
         print(f"sort k={k:2d} : {timeit(f_sort, ids, *pay):7.3f} ms")
 
+    # Cotangent-permute candidates for _pack_gather_bwd: the live code does
+    # a LANE gather cot[:, ids] on a (D, P) array. Alternatives: explicit
+    # transpose -> row gather -> transpose, and gathering a (P, D) layout
+    # (would also need the segsum kernel to accept row-major cotangents).
+    cotT = jnp.asarray(np.ascontiguousarray(np.asarray(cot)))  # (P, D)
+    cotDP = jnp.asarray(np.asarray(cot).T.copy())  # (D, P)
+    pids = jnp.asarray(rng.permutation(p).astype(np.int32))
+
+    def f_laneg(ids, c):
+        g = c[:, ids % p]  # (D, P) lane gather
+        return rotate(ids, jnp.abs(g).sum(axis=0) * 7.0)
+
+    def f_lane_via_T(ids, c):
+        g = c.T[ids % p].T  # transpose -> row gather -> transpose
+        return rotate(ids, jnp.abs(g).sum(axis=0) * 7.0)
+
+    def f_rowg_pd(ids, c):
+        g = c[ids % p]  # (P, D) row gather (needs segsum layout change)
+        return rotate(ids, jnp.abs(g).sum(axis=1) * 7.0)
+
+    print(f"cot lane gather (D,P)[:,ids] : {timeit(f_laneg, pids, cotDP):7.3f} ms")
+    print(f"cot via double transpose     : {timeit(f_lane_via_T, pids, cotDP):7.3f} ms")
+    print(f"cot row gather (P,D)[ids]    : {timeit(f_rowg_pd, pids, cotT):7.3f} ms")
+
     def f_sortseg(ids, c):
         cols = tuple(c[:, j] for j in range(d))
         out = jax.lax.sort((ids, *cols), num_keys=1, is_stable=False)
