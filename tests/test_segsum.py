@@ -1,0 +1,70 @@
+"""Direct unit tests for ops.segsum.segsum_contiguous (interpret mode).
+
+The kernel is the deterministic replacement for the CUDA backward's
+atomicAdd gradient scatter (channel-rasterization backward.cu:519-549); its
+contract: owners NON-DECREASING with steps of <= 1 (generation-order pair
+owners). Oracle: plain numpy bincount-style segment sum.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from semantic_gaussians_tpu.ops.segsum import CHUNK, segsum_contiguous
+
+
+def _oracle(cot, owners, num_rows):
+    out = np.zeros((cot.shape[0], num_rows), np.float32)
+    np.add.at(out.T, owners, cot.T)
+    return out
+
+
+def _owners(p, num_rows, rng):
+    """Random valid owner sequence: non-decreasing, steps of <= 1."""
+    steps = (rng.uniform(size=p) < min(1.0, num_rows / p)).astype(np.int32)
+    steps[0] = 0
+    o = np.cumsum(steps)
+    return np.minimum(o, num_rows - 1).astype(np.int32)
+
+
+@pytest.mark.parametrize("d,p,rows", [(11, CHUNK, 300), (3, 4 * CHUNK, 1000),
+                                      (8, 2 * CHUNK, 40)])
+def test_matches_oracle(d, p, rows):
+    rng = np.random.default_rng(d * p)
+    cot = rng.normal(size=(d, p)).astype(np.float32)
+    owners = _owners(p, rows, rng)
+    out = segsum_contiguous(
+        jnp.asarray(cot), jnp.asarray(owners), rows, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), _oracle(cot, owners, rows), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_last_window_at_row_boundary():
+    """Owners ending exactly at num_rows-1 exercise the clipped final
+    window base (cols_pad headroom)."""
+    rng = np.random.default_rng(0)
+    p, rows = 2 * CHUNK, 129  # rows just past a 128 lane boundary
+    cot = rng.normal(size=(4, p)).astype(np.float32)
+    owners = np.minimum(np.arange(p) // 4, rows - 1).astype(np.int32)
+    out = segsum_contiguous(
+        jnp.asarray(cot), jnp.asarray(owners), rows, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), _oracle(cot, owners, rows), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_single_owner_all_pairs():
+    """Degenerate: every pair owned by row 0 (one huge segment)."""
+    rng = np.random.default_rng(1)
+    p = CHUNK * 3
+    cot = rng.normal(size=(5, p)).astype(np.float32)
+    owners = np.zeros(p, np.int32)
+    out = segsum_contiguous(
+        jnp.asarray(cot), jnp.asarray(owners), 7, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:, 0], cot.sum(axis=1), rtol=1e-5, atol=1e-5
+    )
+    assert np.abs(np.asarray(out)[:, 1:]).max() == 0.0
