@@ -239,6 +239,7 @@ def main():
             pred_on_3d=bool(e.get("pred_on_3d", True)),
             backend=cfg.pipeline.get("backend", "pallas"),
             stdout=True, log_file="eval_result.log",
+            chunk_views=int(e.get("chunk_views", 8)),
         )
     print(f"mIoU {miou:.4f}  mAcc {macc:.4f}")
 

@@ -68,6 +68,7 @@ def main():
         depth_scale=float(f.get("depth_scale", 1000.0)),
         visibility_threshold=float(f.get("visibility_threshold", 0.05)),
         cut_boundary=int(f.get("cut_boundary", 10)),
+        chunk_views=int(f.get("chunk_views", 4)),
     )
     feats, visited = fuse_scene(
         params, alive, cameras, provider, fcfg, image_paths=image_paths,

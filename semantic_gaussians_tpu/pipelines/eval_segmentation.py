@@ -17,6 +17,7 @@ confusion matrix's unlabeled column (metric.py semantics).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -26,7 +27,11 @@ import numpy as np
 from ..core.gaussians import GaussianParams
 from ..renderer import render_chn
 from ..utils.camera import Camera
-from ..utils.metrics import confusion_matrix, evaluate_confusion
+from ..utils.metrics import (
+    confusion_matrix,
+    confusion_matrix_device,
+    evaluate_confusion,
+)
 
 
 def text_feature_matrix(text_encoder, class_labels: Sequence[str]) -> np.ndarray:
@@ -173,6 +178,56 @@ class EvalAccumulator:
         )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("num_classes", "pred_on_3d", "backend"),
+)
+def _eval_chunk(
+    cam_stack: Camera,  # array leaves stacked, leading K
+    gt_stack: jnp.ndarray,  # [K, H, W] int32 ids in [0, num_classes]
+    params: GaussianParams,
+    alive: jnp.ndarray,
+    gauss_feats: jnp.ndarray,
+    text: jnp.ndarray,
+    num_classes: int,
+    pred_on_3d: bool,
+    backend: str,
+):
+    """K views -> summed confusion in ONE dispatch (lax.scan over views).
+
+    The per-view [H, W, C] feature render, similarity map and label image
+    all stay on device; only a [num_classes, num_classes+1] confusion sum
+    comes back. This is the serving-shape eval path — the per-view python
+    loop pays one host->device round trip per view (~90 ms over this
+    sandbox's tunnel) which dwarfs the render itself at eval resolutions.
+    """
+
+    def body(conf, inp):
+        cam, gt = inp
+        pred = predict_label_image(
+            cam, params, alive, gauss_feats, text, pred_on_3d, backend
+        )
+        return conf + confusion_matrix_device(pred, gt, num_classes), None
+
+    conf0 = jnp.zeros((num_classes, num_classes + 1), jnp.int32)
+    conf, _ = jax.lax.scan(body, conf0, (cam_stack, gt_stack))
+    return conf
+
+
+def _stack_eval_views(cameras, gt_label_images):
+    """Stacked (Camera, gt [K,H,W] int32) if all views share static camera
+    fields and label-image shapes; None otherwise (caller falls back)."""
+    from .train import stack_camera_chunk
+
+    gts = [np.asarray(g) for g in gt_label_images]
+    if len({g.shape for g in gts}) != 1:
+        return None
+    cam_stack = stack_camera_chunk(list(cameras))
+    if cam_stack is None:
+        return None
+    return cam_stack, jnp.asarray(np.stack(gts).astype(np.int32))
+
+
 def eval_views(
     cameras: Sequence[Camera],
     gt_label_images: Sequence[np.ndarray],
@@ -185,12 +240,32 @@ def eval_views(
     backend: str = "pallas",
     stdout: bool = False,
     log_file: Optional[str] = None,
+    chunk_views: int = 8,
 ):
-    """Evaluate one scene over its views. Returns (mIoU, mAcc, confusion)."""
+    """Evaluate one scene over its views. Returns (mIoU, mAcc, confusion).
+
+    Views are evaluated in device-side chunks of `chunk_views` (one dispatch
+    per chunk; only confusion matrices leave the chip). chunk_views=0, or
+    heterogeneous cameras / label shapes, fall back to the per-view loop.
+    """
     num_classes = len(class_labels)
     acc = EvalAccumulator(num_classes)
     text_j = jnp.asarray(text)
-    for cam, gt in zip(cameras, gt_label_images):
+    todo = list(zip(cameras, gt_label_images))
+    # Full chunks only (a ragged tail would cost a second slow TPU compile);
+    # the remainder goes through the per-view loop below.
+    while chunk_views > 1 and len(todo) >= chunk_views:
+        chunk, rest = todo[:chunk_views], todo[chunk_views:]
+        stacked = _stack_eval_views([c for c, _ in chunk], [g for _, g in chunk])
+        if stacked is None:
+            break
+        todo = rest
+        conf = _eval_chunk(
+            stacked[0], stacked[1], params, alive, gauss_feats, text_j,
+            num_classes, pred_on_3d, backend,
+        )
+        acc.confusion += np.asarray(conf).astype(np.int64)
+    for cam, gt in todo:
         pred = predict_label_image(
             cam, params, alive, gauss_feats, text_j, pred_on_3d, backend
         )

@@ -36,6 +36,11 @@ class FusionConfig:
     depth_scale: float = 1000.0
     visibility_threshold: float = 0.05
     cut_boundary: int = 10
+    # Views fused per device dispatch (lax.scan); trailing views pad the
+    # last chunk with zero weight so ONE compiled shape covers the scene.
+    # 0/1 = per-view dispatch. Auto-reduced if stacked feature maps would
+    # exceed ~2.5 GB of HBM.
+    chunk_views: int = 4
 
 
 def _intrinsic_for(camera: Camera, img_dim) -> np.ndarray:
@@ -61,17 +66,87 @@ def fuse_view(
     img_dim: tuple,
     vis_thres: float,
     cut_bound: int,
+    weight: Optional[jnp.ndarray] = None,  # scalar 0/1; 0 = skip this view
 ):
-    """Accumulate one view's features onto the Gaussians (fusion.py:126-144)."""
+    """Accumulate one view's features onto the Gaussians (fusion.py:126-144).
+
+    `weight` gates the whole view (used by the chunked scan path to pad the
+    last chunk to a fixed length without contributing anything).
+    """
     mapping = compute_mapping(
         world_view, means, intrinsic, img_dim, depth_map, vis_thres, cut_bound
     )
     v, u, mask = mapping[:, 0], mapping[:, 1], mapping[:, 2]
     mask = (mask > 0) & alive
+    if weight is not None:
+        mask = mask & (weight > 0)
     feats = feat_map[v, u]  # [cap, C]
     sem_sum = sem_sum + jnp.where(mask[:, None], feats, 0.0)
     counts = counts + mask.astype(counts.dtype)
     return sem_sum, counts
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "img_dim", "vis_thres", "cut_bound", "depth_mode", "backend",
+        "tile_shape",
+    ),
+)
+def _fuse_chunk(
+    sem: jnp.ndarray,
+    counts: jnp.ndarray,
+    params: GaussianParams,
+    alive: jnp.ndarray,
+    cam_stack: Camera,  # array leaves stacked, leading K
+    intr_stack: jnp.ndarray,  # [K, 3, 3]
+    feat_stack: jnp.ndarray,  # [K, H, W, C]
+    depth_stack: Optional[jnp.ndarray],  # [K, H, W] ('image' mode) or None
+    weights: jnp.ndarray,  # [K] 0/1; 0 = padded slot
+    img_dim: tuple,
+    vis_thres: float,
+    cut_bound: int,
+    depth_mode: str,
+    backend: str,
+    tile_shape,
+):
+    """Fuse K views in ONE dispatch: per-view depth (render/surface) and the
+    masked accumulate run inside a lax.scan; only (sem, counts) round-trip.
+
+    The per-view python loop pays one host->device round trip per view plus
+    a separate render dispatch in 'render' mode; scanning K views amortizes
+    both, the same way train_scan_step does for training."""
+
+    def body(carry, inp):
+        sem, counts = carry
+        cam, intr, feat, depth_in, wgt = inp
+        if depth_mode == "render":
+            out = render(
+                cam, params, alive=alive, override_shape=img_dim,
+                tile_shape=tile_shape, backend=backend,
+            )
+            depth_map = out["depth"]
+        elif depth_mode == "surface":
+            depth_map = surface_depth(
+                cam.world_view, params.means, intr, img_dim, cut_bound,
+                valid=alive,
+            )
+        elif depth_mode == "image":
+            depth_map = depth_in
+        else:
+            depth_map = None
+        sem, counts = fuse_view(
+            sem, counts, params.means, alive, cam.world_view, intr, feat,
+            depth_map, img_dim, vis_thres, cut_bound, weight=wgt,
+        )
+        return (sem, counts), None
+
+    xs = (cam_stack, intr_stack, feat_stack, depth_stack, weights)
+    (sem, counts), _ = jax.lax.scan(body, (sem, counts), xs)
+    return sem, counts
+
+
+_CHUNK_FEAT_BYTES_BUDGET = 2_500_000_000  # stacked feature-map HBM guard
 
 
 def fuse_scene(
@@ -88,27 +163,98 @@ def fuse_scene(
     """Fuse features over every k-th view.
 
     Returns (features [cap, C] float32 averaged, visited [cap] bool).
+    Views go through the device in chunks of `cfg.chunk_views` (the last
+    chunk is padded with zero-weight repeats so one compiled shape covers
+    the whole scene); set chunk_views<=1 for per-view dispatch.
     """
     c = feature_provider.embedding_dim
     cap = params.capacity
     sem = jnp.zeros((cap, c), jnp.float32)
     counts = jnp.zeros((cap,), jnp.float32)
     w, h = cfg.img_dim
+    depth_mode = cfg.depth if cfg.depth not in (None, "None") else "none"
+    if depth_mode not in ("render", "image", "surface", "none"):
+        raise ValueError(f"unknown depth mode {cfg.depth!r}")
 
-    views = list(range(len(cameras)))[:: cfg.every_k_views]
-    for vi in views:
-        cam = cameras[vi]
+    def load_feat(vi):
         path = (
             image_paths[vi]
             if image_paths is not None
-            else (cam.image_name or str(vi))
+            else (cameras[vi].image_name or str(vi))
         )
-        feat = jnp.asarray(
-            feature_provider.extract_image_feature(path, cfg.img_dim)
+        return np.asarray(
+            feature_provider.extract_image_feature(path, cfg.img_dim),
+            np.float32,
         )
-        intrinsic = jnp.asarray(_intrinsic_for(cam, cfg.img_dim))
 
-        if cfg.depth == "render":
+    def load_depth(vi):
+        if depth_mode == "image":
+            from PIL import Image
+
+            d = np.asarray(Image.open(depth_paths[vi])).astype(np.float32)
+            if d.shape != (h, w):
+                d = np.asarray(
+                    Image.fromarray(d).resize((w, h), Image.NEAREST)
+                )
+            return d / cfg.depth_scale
+        return None
+
+    views = list(range(len(cameras)))[:: cfg.every_k_views]
+    # Bound the stacked feature maps' device footprint.
+    per_view_bytes = 4 * w * h * c
+    k = min(cfg.chunk_views, max(1, _CHUNK_FEAT_BYTES_BUDGET // per_view_bytes))
+
+    def stack_cams(idxs):
+        from .train import stack_camera_chunk
+
+        stripped = [
+            dataclasses.replace(cameras[vi], image=None) for vi in idxs
+        ]
+        return stack_camera_chunk(stripped)
+
+    # Chunking needs one compiled shape => homogeneous camera statics.
+    b = cameras[views[0]]
+    homogeneous = all(
+        (cameras[vi].width, cameras[vi].height, cameras[vi].fov_x,
+         cameras[vi].fov_y, cameras[vi].znear, cameras[vi].zfar)
+        == (b.width, b.height, b.fov_x, b.fov_y, b.znear, b.zfar)
+        for vi in views
+    )
+
+    if k > 1 and len(views) > 1 and homogeneous:
+        for start in range(0, len(views), k):
+            batch = views[start : start + k]
+            pad = k - len(batch)
+            idxs = batch + [batch[-1]] * pad
+            cam_stack = stack_cams(idxs)
+            feats = [load_feat(vi) for vi in batch]
+            feats += [feats[-1]] * pad
+            depths = None
+            if depth_mode == "image":
+                dm = [load_depth(vi) for vi in batch]
+                depths = jnp.asarray(np.stack(dm + [dm[-1]] * pad))
+            intr = jnp.asarray(
+                np.stack([_intrinsic_for(cameras[vi], cfg.img_dim) for vi in idxs])
+            )
+            weights = jnp.asarray(
+                np.array([1.0] * len(batch) + [0.0] * pad, np.float32)
+            )
+            sem, counts = _fuse_chunk(
+                sem, counts, params, alive, cam_stack, intr,
+                jnp.asarray(np.stack(feats)), depths, weights,
+                cfg.img_dim, cfg.visibility_threshold, cfg.cut_boundary,
+                depth_mode, backend, tile_shape,
+            )
+        else:
+            visited = counts > 0
+            features = sem / jnp.maximum(counts[:, None], 1.0)
+            return features, visited
+
+    for vi in views:
+        cam = cameras[vi]
+        feat = jnp.asarray(load_feat(vi))
+        intrinsic = jnp.asarray(_intrinsic_for(cam, cfg.img_dim))
+        if depth_mode == "render":
             out = render(
                 cam,
                 params,
@@ -118,24 +264,15 @@ def fuse_scene(
                 backend=backend,
             )
             depth_map = out["depth"]
-        elif cfg.depth == "image":
-            from PIL import Image
-
-            d = np.asarray(Image.open(depth_paths[vi])).astype(np.float32)
-            if d.shape != (h, w):
-                d = np.asarray(
-                    Image.fromarray(d).resize((w, h), Image.NEAREST)
-                )
-            depth_map = jnp.asarray(d / cfg.depth_scale)
-        elif cfg.depth == "surface":
+        elif depth_mode == "image":
+            depth_map = jnp.asarray(load_depth(vi))
+        elif depth_mode == "surface":
             depth_map = surface_depth(
                 cam.world_view, params.means, intrinsic, cfg.img_dim,
                 cfg.cut_boundary, valid=alive,
             )
-        elif cfg.depth in (None, "none", "None"):
-            depth_map = None
         else:
-            raise ValueError(f"unknown depth mode {cfg.depth!r}")
+            depth_map = None
 
         sem, counts = fuse_view(
             sem, counts, params.means, alive, cam.world_view, intrinsic,

@@ -135,6 +135,33 @@ def render(
     return out
 
 
+def render_many(
+    cam_stack: Camera,
+    params: GaussianParams,
+    alive: Optional[jnp.ndarray] = None,
+    bg: Optional[jnp.ndarray] = None,
+    **kw,
+) -> dict:
+    """Render a STACK of K cameras in one traced computation (lax.map).
+
+    `cam_stack` is a Camera whose array leaves carry a leading K axis with
+    static fields (sizes/FoVs) shared — build it with
+    pipelines.train.stack_camera_chunk. Outputs gain a leading K axis.
+
+    Per-view dispatch costs ~90 ms over this sandbox's remote tunnel (and
+    ~1 ms even on local hardware); mapping K views into one dispatch
+    amortizes it Kx for the fusion / eval / serving paths, the same trick
+    train_scan_step plays for training. Intermediates (pair stream, tile
+    buffers) are reused across map iterations, so peak memory matches a
+    single render plus the stacked outputs.
+    """
+
+    def body(cam):
+        return render(cam, params, alive=alive, bg=bg, **kw)
+
+    return jax.lax.map(body, cam_stack)
+
+
 def render_chn(
     camera: Camera,
     params: GaussianParams,

@@ -27,6 +27,24 @@ def confusion_matrix(pred_ids: np.ndarray, gt_ids: np.ndarray, num_classes: int)
     return full[:num_classes, :]
 
 
+def confusion_matrix_device(pred_ids, gt_ids, num_classes: int):
+    """jnp twin of confusion_matrix for use inside jitted view scans.
+
+    Same semantics (row=gt excl. unlabeled, col=pred incl. unlabeled) but
+    stays on device — the batched eval path sums these per view so only a
+    [num_classes, num_classes+1] matrix ever leaves the chip instead of a
+    full [H, W] label image per view.
+    """
+    import jax.numpy as jnp
+
+    pred_ids = pred_ids.reshape(-1)
+    gt_ids = gt_ids.reshape(-1)
+    idxs = gt_ids * (num_classes + 1) + pred_ids
+    counts = jnp.zeros(((num_classes + 1) ** 2,), jnp.int32).at[idxs].add(1)
+    full = counts.reshape(num_classes + 1, num_classes + 1)
+    return full[:num_classes, :]
+
+
 def get_iou(label_id: int, confusion: np.ndarray):
     """(iou, tp, denom) for one class; metric.py:20-32."""
     tp = np.longlong(confusion[label_id, label_id])
