@@ -164,15 +164,43 @@ def make_predictor(name: str, cfg: dict) -> "Predictor2D":
             ),
         )
     if name == "vlpart":
-        from .clip_text import JaxCLIPTextEncoder
-        from .vlpart import PrecomputedDetections, VLPartPredictor
+        import torch
 
+        from .clip_text import JaxCLIPTextEncoder
+        from .clip_vision import JaxCLIPImageEncoder
+        from .sam import SamConfig, params_from_sam_state_dict
+        from .vlpart import (
+            NativeOpenVocabDetector,
+            PrecomputedDetections,
+            VLPartPredictor,
+        )
+
+        text_encoder = JaxCLIPTextEncoder(
+            checkpoint_path=cfg["clip_checkpoint"], bpe_path=bpe
+        )
+        sam_cfg = SamConfig.vit_h()
+        sam_vars = params_from_sam_state_dict(
+            torch.load(cfg["sam_checkpoint"], map_location="cpu"), sam_cfg
+        )
+        if get("detections_dir"):
+            # offline exports from the upstream detectron2 stack
+            # (tools/export_vlpart_detections.py)
+            detector = PrecomputedDetections(cfg["detections_dir"])
+        else:
+            # fully native path: SAM proposals x CLIP classification,
+            # sharing the SAM weights with the box-refinement stage
+            from .automask import SamAutoMask
+
+            detector = NativeOpenVocabDetector(
+                SamAutoMask(sam_cfg, sam_vars),
+                JaxCLIPImageEncoder(checkpoint_path=cfg["clip_checkpoint"]),
+                text_encoder,
+            )
         return VLPartPredictor(
-            PrecomputedDetections(cfg["detections_dir"]),
-            sam_checkpoint=cfg["sam_checkpoint"],
-            text_encoder=JaxCLIPTextEncoder(
-                checkpoint_path=cfg["clip_checkpoint"], bpe_path=bpe
-            ),
+            detector,
+            sam_cfg=sam_cfg,
+            sam_variables=sam_vars,
+            text_encoder=text_encoder,
             vocabulary=list(get("vocabulary", [])) or None,
         )
     if name == "random":

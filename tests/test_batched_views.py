@@ -75,6 +75,25 @@ def test_fuse_scene_chunked_matches_loop(rng):
         )
 
 
+def test_fuse_scene_heterogeneous_cams_logs_fallback(rng, capsys):
+    """Pod-readiness guard (VERDICT r2 weak #5): the silent loss of chunk
+    amortization on mixed-camera scenes must announce itself."""
+    params, alive = _toy(rng)
+    cams = _cams(4) + [
+        make_camera(np.eye(3), np.zeros(3), 1.2, 1.0, 32, 24)  # odd camera
+    ]
+    provider = RandomFeatureProvider(embedding_dim=6)
+    fuse_scene(
+        params, alive, cams, provider,
+        FusionConfig(
+            img_dim=(64, 48), every_k_views=1, depth="none", cut_boundary=0,
+            chunk_views=2,
+        ),
+        image_paths=[f"v{i}" for i in range(5)], backend="dense",
+    )
+    assert "per-view dispatch" in capsys.readouterr().out
+
+
 def test_eval_views_chunked_matches_loop(rng):
     params, alive = _toy(rng)
     cams = _cams(5)

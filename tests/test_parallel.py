@@ -102,6 +102,25 @@ def test_view_parallel_step_runs():
     assert int(state.step) == 1
 
 
+def test_view_parallel_step_rejects_short_cam_batch():
+    """Pod-readiness guard: fewer stacked views than mesh devices must fail
+    with a clear Python error, not an opaque XLA sharding error."""
+    params, alive = _scene()
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(1)
+    cams = [
+        make_camera(
+            np.eye(3), np.array([0.05 * i, 0, 0]), 1.2, 0.9, 128, 32,
+            image=rng.uniform(size=(32, 128, 3)).astype(np.float32),
+        )
+        for i in range(5)  # < 8 devices
+    ]
+    state = init_train_state(params, alive)
+    step = make_parallel_train_step(mesh, TrainConfig(), active_sh_degree=1)
+    with pytest.raises(ValueError, match="5 views.*8 devices"):
+        step(state, stack_cameras(cams), jnp.zeros(3))
+
+
 @pytest.mark.slow
 def test_parallel_distill_step():
     from semantic_gaussians_tpu.pipelines.distill import (

@@ -463,6 +463,105 @@ def test_vlpart_predictor_end_to_end(rng):
     assert (feats2 == 0).all()
 
 
+def test_detection_export_schema_roundtrip(tmp_path, rng):
+    """save_detections <-> PrecomputedDetections round-trip: the contract
+    between tools/export_vlpart_detections.py and the fusion consumer."""
+    from semantic_gaussians_tpu.models.vlpart import (
+        PrecomputedDetections,
+        save_detections,
+    )
+
+    # row-sorted uniforms give x1<=y1<=x2<=y2, hence valid xyxy
+    boxes = np.sort(rng.uniform(0, 100, (5, 4)).astype(np.float32), axis=-1)
+    scores = rng.uniform(0.3, 1.0, 5).astype(np.float32)
+    classes = rng.integers(0, 19, 5)
+    save_detections(tmp_path / "frame_000.npz", boxes, scores, classes)
+
+    det = PrecomputedDetections(tmp_path)
+    det.set_current("color/frame_000.jpg")
+    b, s, c = det(np.zeros((4, 4, 3), np.uint8))
+    np.testing.assert_array_equal(b, boxes)
+    np.testing.assert_array_equal(s, scores)
+    np.testing.assert_array_equal(c, classes.astype(np.int64))
+    assert c.dtype == np.int64 and b.dtype == np.float32
+
+    # empty exports are legal (a view with no detections)
+    save_detections(tmp_path / "empty.npz", np.zeros((0, 4)), [], [])
+    det.set_current("empty.png")
+    b, s, c = det(np.zeros((4, 4, 3), np.uint8))
+    assert b.shape == (0, 4) and len(s) == 0 and len(c) == 0
+
+    # schema violations fail loudly at export time
+    with pytest.raises(ValueError, match="ragged"):
+        save_detections(tmp_path / "bad.npz", boxes, scores[:3], classes)
+    with pytest.raises(ValueError, match="xyxy"):
+        save_detections(
+            tmp_path / "bad.npz", boxes[:, [2, 1, 0, 3]], scores, classes
+        )
+
+
+@pytest.mark.slow
+def test_native_open_vocab_detector_end_to_end(rng):
+    """Fully native VLPart path: raw image -> SAM-proposal x CLIP
+    classification detector -> box refinement -> semantic map, with no
+    stub/precomputed detections anywhere (VERDICT r2 item 4a)."""
+    from semantic_gaussians_tpu.models.clip_vision import (
+        CLIPVisionTower,
+        JaxCLIPImageEncoder,
+    )
+    from semantic_gaussians_tpu.models.automask import SamAutoMask
+    from semantic_gaussians_tpu.models.vlpart import (
+        NativeOpenVocabDetector,
+        VLPartPredictor,
+    )
+
+    cfg = SamConfig.tiny()
+    model = Sam(cfg)
+    x = jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+    sam_var = model.init(
+        jax.random.PRNGKey(7), x, jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32)
+    )
+    tower = CLIPVisionTower(
+        image_size=16, patch=8, width=12, layers=1, heads=2, embed_dim=6
+    )
+    cvar = tower.init(jax.random.PRNGKey(8), jnp.zeros((1, 16, 16, 3)))
+    text_enc = _FakeTextEncoder()
+    detector = NativeOpenVocabDetector(
+        SamAutoMask(
+            cfg, sam_var,
+            AutoMaskConfig(
+                points_per_side=3, points_per_batch=4, pred_iou_thresh=-1e9,
+                stability_score_thresh=-1.0, min_mask_region_area=0,
+            ),
+        ),
+        JaxCLIPImageEncoder(tower=tower, params=cvar),
+        text_enc,
+    )
+    img = (rng.uniform(size=(40, 52, 3)) * 255).astype(np.uint8)
+
+    # detector protocol surface: boxes xyxy in-bounds, scores in (0,1],
+    # class ids within the vocabulary (background argmaxes dropped)
+    detector.set_vocabulary(["chair", "table", "lamp", "sofa"])
+    boxes, scores, classes = detector(img)
+    assert boxes.shape[1:] == (4,) and len(boxes) == len(scores) == len(classes)
+    if len(boxes):
+        assert (boxes[:, 0] <= boxes[:, 2]).all()
+        assert (boxes[:, [0, 2]] <= 52).all() and (boxes[:, [1, 3]] <= 40).all()
+        assert ((0 <= classes) & (classes < 4)).all()
+        assert (scores > 0).all() and (scores <= 1).all()
+
+    pred = VLPartPredictor(
+        detector, sam_cfg=cfg, sam_variables=sam_var,
+        text_encoder=text_enc,
+        vocabulary=["chair", "table", "lamp", "sofa"],
+        box_threshold=0.0, min_hole_area=0,
+    )
+    feats = pred.extract_image_feature(img, img_size=(36, 24))  # (W, H)
+    assert feats.shape == (24, 36, 6)
+    norms = np.linalg.norm(feats, axis=-1)
+    assert ((norms < 1e-4) | (np.abs(norms - 1) < 1e-3)).all()
+
+
 @pytest.mark.slow
 def test_sam_box_prompt_shapes(rng):
     cfg = SamConfig.tiny()

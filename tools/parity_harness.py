@@ -260,7 +260,7 @@ def main():
         )
         curve.append(
             dict(iter=it_done, alive=n_alive, test_psnr=tp,
-                 capacity=int(state.params.capacity))
+                 capacity=int(state.params.capacity), overflow=ov)
         )
         # schedule invariant: right after an opacity reset boundary the max
         # opacity must be near the 0.01 clamp (<= ~100 steps of drift).
@@ -298,6 +298,7 @@ def main():
     psnr_first = valid_psnrs[0] if valid_psnrs else float("nan")
     psnr_end = valid_psnrs[-1] if valid_psnrs else float("nan")
 
+    total_overflow = sum(c.get("overflow", 0) for c in curve)
     checks = dict(
         psnr_rises=psnr_end > psnr_first + 3.0,
         psnr_floor=psnr_end >= 27.0,
@@ -308,6 +309,9 @@ def main():
         opacity_resets_clamped=all(
             rc["max_opacity"] <= 0.011 for rc in reset_checks
         ),
+        # VERDICT r2 item 9: no step in the run trained on a clipped pair
+        # list (the fixed --pair-budget must be generous enough end-to-end)
+        zero_overflow=total_overflow == 0,
     )
     report = dict(
         config=dict(iters=args.iters, width=w, height=h,
@@ -315,6 +319,7 @@ def main():
         curve=curve,
         opacity_reset_checks=reset_checks,
         final=dict(test_psnr=psnr_end, alive=alive_end,
+                   total_overflow=total_overflow,
                    wall_s=round(wall_used + time.time() - t0, 1)),
         checks=checks,
     )
