@@ -36,10 +36,15 @@ Key differences from the CUDA design (see DESIGN.md):
     out = C + T*bg, and the backward's alpha gradient ignoring the 0.99
     clamp (matching CUDA backward.cu:477-530).
 
-Pair layout (float32, shape (D, P) with D = 8 + C padded to a multiple of 8):
-  row 0=mean_x 1=mean_y 2=conic_a 3=conic_b 4=conic_c 5=opacity 6=depth
-  7=pad  8:8+C=color/feature channels.
-Gradient output uses the same layout (depth/pad rows zero).
+Pair layout (float32, shape (D, P) with D = 7 + C padded to a multiple of 8):
+  row 0=mean_x 1=mean_y 2=conic_a 3=conic_b 4=conic_c 5=opacity
+  6:6+C=color/feature channels  6+C=depth.
+Colors sit BEFORE depth so every row with a nonzero cotangent (geometry +
+colors; depth has none — reference parity, the CUDA backward has no depth
+grad) is contiguous at the front: the pack-gather VJP permutes only those
+6+C rows (ops.rasterize._pack_gather_bwd), cutting the cotangent lane-gather
+bytes ~40% at C=3. Gradient output uses the same layout (depth/pad rows
+zero).
 
 Outputs are TILE-MAJOR: color (num_tiles, C, PX), scalars (num_tiles, 1, PX);
 the caller unscrambles to raster order in XLA (outside the custom_vjp, so
@@ -62,8 +67,8 @@ T_EPS = 1e-4
 MAX_ALPHA = 0.99
 MEDIAN_DEPTH_INIT = 15.0
 
-COL_MX, COL_MY, COL_CA, COL_CB, COL_CC, COL_OP, COL_DEPTH = 0, 1, 2, 3, 4, 5, 6
-COL_COLOR = 8
+COL_MX, COL_MY, COL_CA, COL_CB, COL_CC, COL_OP = 0, 1, 2, 3, 4, 5
+COL_COLOR = 6  # colors 6:6+C, depth at 6+C (see module doc: grad rows first)
 CHUNK = 128  # DMA/alignment granule; must be a multiple of 128
 
 
@@ -78,10 +83,19 @@ class CompositeConfig(NamedTuple):
     interpret: bool
 
     @property
+    def num_grad_rows(self) -> int:
+        # geometry (6) + colors: every pair row that carries a cotangent.
+        return COL_COLOR + self.num_channels
+
+    @property
+    def col_depth(self) -> int:
+        return COL_COLOR + self.num_channels
+
+    @property
     def row_width(self) -> int:
         # Padded to a multiple of 8: Mosaic slices along the sublane dim must
         # be 8-aligned (or full), and pair buffers are sliced by row groups.
-        d = COL_COLOR + self.num_channels
+        d = COL_COLOR + self.num_channels + 1  # + depth row
         return -(-d // 8) * 8
 
     @property
@@ -200,7 +214,7 @@ def _alpha_terms(bt, basis, tox, toy, cfg):
     cb = bt[:, COL_CB : COL_CB + 1]
     cc = bt[:, COL_CC : COL_CC + 1]
     op = bt[:, COL_OP : COL_OP + 1]
-    depth = bt[:, COL_DEPTH : COL_DEPTH + 1]
+    depth = bt[:, cfg.col_depth : cfg.col_depth + 1]
     colors = bt[:, COL_COLOR : COL_COLOR + cfg.num_channels]  # (CHUNK, C)
     dx = mx - basis[1:2]  # (CHUNK, PX)
     dy = my - basis[2:3]
@@ -439,10 +453,10 @@ def _bwd_kernel(cfg: CompositeConfig):
         n_contrib_ref,  # (1, 1, PX) int32
         grads_hbm,  # OUT: (D, P_pad) ANY
         chunk_buf,  # VMEM (2, D, CHUNK)
-        gbuf,  # VMEM (D, CHUNK)
+        gbuf,  # VMEM (2, D, CHUNK) — double-buffered gradient write-out
         obuf,  # VMEM (D, CHUNK) — head merge scratch
         sems,  # DMA (2,)
-        out_sem,  # DMA ()
+        out_sems,  # DMA (2,)
         head_sem,  # DMA ()
     ):
         aligned, head, count, nchunks = _tile_range(tile_start_ref, tile_count_ref)
@@ -479,9 +493,25 @@ def _bwd_kernel(cfg: CompositeConfig):
         def _():
             dma_in(active - 1).start()
 
-        def merged_write(k):
-            """DMA gbuf out to chunk k, preserving the previous tile's
-            already-final head columns on chunk 0."""
+        def out_copy(k, slot):
+            return pltpu.make_async_copy(
+                gbuf.at[slot],
+                grads_hbm.at[:, pl.ds(aligned + k * CHUNK, CHUNK)],
+                out_sems.at[slot],
+            )
+
+        def wait_write(slot):
+            # Waits the write previously started from gbuf[slot]; the dst
+            # slice only sets the (identical) byte count.
+            out_copy(0, slot).wait()
+
+        def start_write(k, slot):
+            """Async-DMA gbuf[slot] out to chunk k, preserving the previous
+            tile's already-final head columns on chunk 0. The caller must
+            wait_write(slot) before refilling gbuf[slot] — writes are
+            double-buffered so compute overlaps the DMA (the old
+            start-then-wait form serialized one ~us round trip per chunk,
+            ~3.7k chunks/step at the bench config)."""
             @pl.when((k == 0) & (head > 0))
             def _():
                 rd = pltpu.make_async_copy(
@@ -490,22 +520,35 @@ def _bwd_kernel(cfg: CompositeConfig):
                 rd.start()
                 rd.wait()
                 col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-                gbuf[:] = jnp.where(col < head, obuf[:], gbuf[:])
+                gbuf[slot] = jnp.where(col < head, obuf[:], gbuf[slot])
 
-            wr = pltpu.make_async_copy(
-                gbuf, grads_hbm.at[:, pl.ds(aligned + k * CHUNK, CHUNK)],
-                out_sem,
-            )
-            wr.start()
-            wr.wait()
+            out_copy(k, slot).start()
+
+        def drain(n_started):
+            """Wait the (<= 2) still-in-flight writes of a finished loop."""
+            @pl.when(n_started >= 1)
+            def _():
+                wait_write(jax.lax.rem(n_started - 1, 2))
+
+            @pl.when(n_started >= 2)
+            def _():
+                wait_write(jax.lax.rem(n_started - 2, 2))
 
         # zero-fill inactive chunks [active, nchunks)
         def zero_body(k, _):
-            gbuf[:] = jnp.zeros((cfg.row_width, CHUNK), jnp.float32)
-            merged_write(k)
+            m = k - active
+            slot = jax.lax.rem(m, 2)
+
+            @pl.when(m >= 2)
+            def _():
+                wait_write(slot)
+
+            gbuf[slot] = jnp.zeros((cfg.row_width, CHUNK), jnp.float32)
+            start_write(k, slot)
             return 0
 
         jax.lax.fori_loop(active, nchunks, zero_body, 0)
+        drain(nchunks - active)
 
         def body(i, carry):
             # b: (1, PX) transmittance after this chunk's Gaussians.
@@ -515,6 +558,11 @@ def _bwd_kernel(cfg: CompositeConfig):
             # unchanged across them — starting from t_final is exact.)
             b, s = carry
             k = active - 1 - i  # active chunks walked back-to-front
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i >= 2)
+            def _():
+                wait_write(slot)
 
             @pl.when(k > 0)
             def _():
@@ -581,16 +629,14 @@ def _bwd_kernel(cfg: CompositeConfig):
             dop = jnp.where(a["op"] > 0.0, M0 / jnp.maximum(a["op"], 1e-30), 0.0)
             dcolor = _dotg(w, ghat, ((1,), (1,)), _TRI_PRECISION)  # (CHUNK, C)
 
-            pad = cfg.row_width - (COL_COLOR + num_ch)
-            pieces = [
-                dmx, dmy, dca, dcb, dcc, dop,
-                jnp.zeros((CHUNK, 2), jnp.float32), dcolor,
-            ]
+            # depth + sublane-pad rows carry no cotangent (zeros).
+            pad = cfg.row_width - cfg.num_grad_rows
+            pieces = [dmx, dmy, dca, dcb, dcc, dop, dcolor]
             if pad:
                 pieces.append(jnp.zeros((CHUNK, pad), jnp.float32))
             grow = jnp.concatenate(pieces, axis=1)  # (CHUNK, D)
-            gbuf[:] = grow.T  # (D, CHUNK)
-            merged_write(k)
+            gbuf[slot] = grow.T  # (D, CHUNK)
+            start_write(k, slot)
 
             # Remove this chunk's product -> T after the previous chunk.
             b = b / sp[0:1]
@@ -600,6 +646,9 @@ def _bwd_kernel(cfg: CompositeConfig):
         jax.lax.fori_loop(
             0, active, body, (t_final, jnp.zeros((1, cfg.px), jnp.float32))
         )
+        # Drain before the grid step ends: the NEXT tile's head merge reads
+        # the columns these writes produce.
+        drain(active)
 
     return kernel
 
@@ -628,10 +677,10 @@ def _bwd_pallas(
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, cfg.row_width, CHUNK), jnp.float32),
-            pltpu.VMEM((cfg.row_width, CHUNK), jnp.float32),
+            pltpu.VMEM((2, cfg.row_width, CHUNK), jnp.float32),
             pltpu.VMEM((cfg.row_width, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -701,8 +750,11 @@ composite_pairs.defvjp(_composite_fwd, _composite_bwd)
 
 
 def pad_pair_cols(pair_data: jnp.ndarray, cfg: CompositeConfig) -> jnp.ndarray:
-    """Pad (D, P): D up to cfg.row_width (8-aligned sublanes) and P by one
-    extra CHUNK so chunked DMA never reads out of bounds."""
+    """Pad a raw (7+C, P) pair buffer (geometry+colors+depth rows): D up to
+    cfg.row_width (8-aligned sublanes) and P by one extra CHUNK so chunked
+    DMA never reads out of bounds. The production path emits a pre-padded
+    buffer straight from the pack gather (ops.rasterize._pack_pair_cols);
+    this helper remains for hand-built buffers (tools/microbenches)."""
     d, p = pair_data.shape
     pad_p = CHUNK + (-p) % CHUNK
     return jnp.pad(pair_data, ((0, cfg.row_width - d), (0, pad_p)))

@@ -24,9 +24,9 @@ import jax.numpy as jnp
 
 from .binning import TileBinning, bin_gaussians, default_pair_budget
 from .composite_pallas import (
+    CHUNK as PAIR_CHUNK,
     CompositeConfig,
     composite_pairs,
-    pad_pair_cols,
 )
 from .composite_ref import rasterize_dense
 from .projection import ProjectedGaussians
@@ -38,41 +38,72 @@ from .projection import ProjectedGaussians
 DEFAULT_TILE: Tuple[int, int] = (16, 32)
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def pack_gather(
-    packed, pair_gaussian, tile_pos_of_gen, gen_owner, orig_to_dense, num_pairs
+    num_grad_rows, packed, pair_gaussian, gen_of_tile_pos, gen_owner,
+    orig_to_dense, num_pairs,
 ):
-    """Tile-ordered pair columns: packed[pair_gaussian].T -> (D, P).
+    """Tile-ordered pair columns: packed[pair_gaussian].T -> (D, P_pad).
 
-    Forward is the plain XLA row gather (bandwidth-bound, ~1.2 ms at P=655k).
+    Forward is the plain XLA row gather (bandwidth-bound, ~1.2 ms at P=655k);
+    pair_gaussian arrives pre-padded to the composite kernel's CHUNK granule
+    (sentinel rows), so the gather emits the final padded buffer directly —
+    no P-scale pad copy afterwards.
     The hand-written VJP replaces XLA's serialized scatter-add (8.6 ms) with:
-    permute cotangents to generation order (row gather), contiguous segment
-    sum per depth-rank owner (Pallas one-hot-matmul kernel, ops.segsum), and
-    an N-scale gather back to original ids. Deterministic by construction —
-    the TPU answer to the CUDA backward's atomicAdd scatter
-    (channel-rasterization backward.cu:519-549)."""
-    del tile_pos_of_gen, gen_owner, orig_to_dense, num_pairs
+    permute the first `num_grad_rows` cotangent rows to generation order (the
+    depth/sublane-pad rows carry no cotangent — see composite_pallas pair
+    layout), contiguous segment sum per depth-rank owner (Pallas
+    one-hot-matmul kernel, ops.segsum), and an N-scale gather back to
+    original ids. Deterministic by construction — the TPU answer to the CUDA
+    backward's atomicAdd scatter (channel-rasterization backward.cu:519-549)."""
+    del gen_of_tile_pos, gen_owner, orig_to_dense, num_pairs, num_grad_rows
     return packed[pair_gaussian].T
 
 
 def _pack_gather_fwd(
-    packed, pair_gaussian, tile_pos_of_gen, gen_owner, orig_to_dense, num_pairs
+    num_grad_rows, packed, pair_gaussian, gen_of_tile_pos, gen_owner,
+    orig_to_dense, num_pairs,
 ):
     out = packed[pair_gaussian].T
     return out, (
-        tile_pos_of_gen, gen_owner, orig_to_dense, num_pairs, packed.shape[0]
+        gen_of_tile_pos, gen_owner, orig_to_dense, num_pairs,
+        packed.shape[0], pair_gaussian.shape[0],
     )
 
 
-def _pack_gather_bwd(res, cot):
+def _pack_gather_bwd(num_grad_rows, res, cot):
     import numpy as np
     from jax.dtypes import float0 as _float0
     from .segsum import CHUNK as SEG_CHUNK, segsum_contiguous
 
-    tile_pos_of_gen, gen_owner, orig_to_dense, num_pairs, n_rows = res
-    # (D, P) cotangent -> generation order along the pair axis (the pack's
+    gen_of_tile_pos, gen_owner, orig_to_dense, num_pairs, n_rows, p_pad = res
+    row_width = cot.shape[0]
+    budget = gen_of_tile_pos.shape[0]
+    # (G, P) cotangent -> generation order along the pair axis (the pack's
     # natural transposed-SoA layout flows straight into the segsum kernel).
-    cot_gen = cot[:, tile_pos_of_gen]
+    # Narrow channels (RGB training, the hot path): ONE multi-payload sort
+    # keyed by each tile-position's generation index — TPU lane gathers are
+    # per-column latency-bound (the inverse-permutation gather measured
+    # 1.78 ms at P=393k vs ~0.9 ms for this sort), and dropping the inverse
+    # permutation also drops the second sort that built it in binning. Only
+    # the rows that carry cotangents ride along (geometry + colors; depth
+    # and the sublane pad rows are zero by the composite backward's
+    # construction). Wide channels (semantic feature training, C=512/768):
+    # a 500+-payload variadic sort explodes XLA compile time — rebuild the
+    # inverse permutation with one cheap int sort and lane-gather instead.
+    if num_grad_rows <= 16:
+        rows = tuple(cot[i, :budget] for i in range(num_grad_rows))
+        outs = jax.lax.sort(
+            (gen_of_tile_pos,) + rows, num_keys=1, is_stable=False
+        )  # gen indices are unique => stability irrelevant
+        cot_gen = jnp.stack(outs[1:], axis=0)
+    else:
+        _, tile_pos_of_gen = jax.lax.sort(
+            (gen_of_tile_pos, jnp.arange(budget, dtype=jnp.int32)),
+            num_keys=1,
+            is_stable=False,
+        )
+        cot_gen = cot[:num_grad_rows, tile_pos_of_gen]
     d, p = cot_gen.shape
     # Invalid pairs (sentinel row in the forward) may carry NaN cotangents
     # from the composite backward's masked math; the old scatter-add
@@ -98,47 +129,59 @@ def _pack_gather_bwd(res, cot):
     d_packed = grad_dense[
         :, jnp.concatenate([orig_to_dense, jnp.array([n_rows - 1], jnp.int32)])
     ].T
-    f0 = lambda x: np.zeros(x.shape, _float0)
+    # restore the zero depth/pad rows to match the primal pack width
+    d_packed = jnp.pad(d_packed, ((0, 0), (0, row_width - num_grad_rows)))
+    f0 = lambda shape: np.zeros(shape, _float0)
     return (
         d_packed,
-        f0(tile_pos_of_gen),
-        f0(tile_pos_of_gen),
-        f0(gen_owner),
-        f0(orig_to_dense),
-        f0(num_pairs),
+        f0((p_pad,)),
+        f0(gen_of_tile_pos.shape),
+        f0(gen_owner.shape),
+        f0(orig_to_dense.shape),
+        f0(num_pairs.shape),
     )
 
 
 pack_gather.defvjp(_pack_gather_fwd, _pack_gather_bwd)
 
 
-def _pack_pair_cols(proj: ProjectedGaussians, binning: TileBinning) -> jnp.ndarray:
-    """Gather per-pair splat columns [8+C, P] in sorted order (differentiable)."""
+def _pack_pair_cols(
+    proj: ProjectedGaussians, binning: TileBinning, cfg: CompositeConfig
+) -> jnp.ndarray:
+    """Gather per-pair splat columns [row_width, P_pad] in sorted order
+    (differentiable). Row layout per composite_pallas module doc (gradient
+    rows first, depth after colors); sublane padding and the sentinel row are
+    applied at N scale and the gather indices at P scale, so the gather emits
+    the kernel-ready buffer with no P-scale pad copy."""
     n = proj.means2d.shape[0]
     packed = jnp.concatenate(
         [
             proj.means2d,
             proj.conics,
             proj.opacities[:, None],
-            proj.depths[:, None],
-            jnp.zeros((n, 1), jnp.float32),
             proj.colors,
+            proj.depths[:, None],
         ],
         axis=-1,
     )
-    # Row n is an all-zero sentinel for invalid pairs (opacity 0 => no-op).
-    packed = jnp.concatenate(
-        [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)], axis=0
+    # Row n is an all-zero sentinel for invalid pairs (opacity 0 => no-op);
+    # column pad up to row_width satisfies Mosaic's 8-aligned sublane rule.
+    packed = jnp.pad(
+        packed, ((0, 1), (0, cfg.row_width - packed.shape[1]))
     )
+    budget = binning.pair_gaussian.shape[0]
+    pad_p = PAIR_CHUNK + (-budget) % PAIR_CHUNK
+    idx = jnp.pad(binning.pair_gaussian, (0, pad_p), constant_values=n)
     import os
 
     if os.environ.get("SGTPU_NO_SEGSUM"):  # A/B attribution switch: XLA
         # scatter-add VJP baseline (slow, exact-order) for parity debugging
-        return packed[binning.pair_gaussian].T
+        return packed[idx].T
     return pack_gather(
+        cfg.num_grad_rows,
         packed,
-        binning.pair_gaussian,
-        binning.tile_pos_of_gen,
+        idx,
+        binning.gen_of_tile_pos,
         binning.gen_owner,
         binning.orig_to_dense,
         binning.num_pairs,
@@ -208,7 +251,7 @@ def rasterize(
         num_channels=num_ch,
         interpret=jax.default_backend() == "cpu",
     )
-    pair_data = pad_pair_cols(_pack_pair_cols(proj, binning), cfg)
+    pair_data = _pack_pair_cols(proj, binning, cfg)
     color, depth, final_t, n_contrib = composite_pairs(
         cfg, pair_data, bg, binning.tile_start, binning.tile_count
     )

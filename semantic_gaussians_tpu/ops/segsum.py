@@ -33,6 +33,74 @@ from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 512
 WIN = CHUNK + 128  # output window columns per chunk
+# VMEM budget for the whole-accumulator fast path; beyond it the windowed
+# RMW kernel handles multi-M-gaussian scenes. Module-level so tests can
+# force the fallback.
+VMEM_ACC_BYTES = 12 * 1024 * 1024
+
+
+def _onehot_dot(cot, onehot_t):
+    """Exact-f32 cot @ onehot_t.T at HALF of Precision.HIGHEST's cost.
+
+    The one-hot operand is exactly representable in bf16 (0/1), but the
+    cotangent is not: plain bf16 products lost ~8 mantissa bits and
+    compounded to 6.6e-3 scaled grad drift on hardware (render parity was
+    6.6e-7). HIGHEST restores exactness by splitting BOTH operands into 3
+    bf16 components (6 MXU passes) — wasteful when one side is already
+    exact. Manual 3-way split of the cotangent alone (top-16-bit
+    truncations peel 8+8+8 mantissa bits, reconstructing all 24) against
+    the exact bf16 one-hot gives exact f32 products in 3 single-pass bf16
+    matmuls with f32 accumulation.
+
+    The components are built with integer mantissa masks, NOT
+    astype(bf16)/astype(f32) round trips: XLA's algebraic simplifier
+    cancels convert(convert(x, bf16), f32) pairs feeding a dot, which
+    silently collapses the split back to one bf16 product (observed 6.5e-2
+    error on TPU). Bit masking is opaque to that pass, and each masked
+    value fits bf16 exactly, so the narrowing converts below are lossless."""
+    mask = jnp.int32(-0x10000)  # keep sign+exp+top-7 mantissa bits
+    x1 = jax.lax.bitcast_convert_type(cot, jnp.int32) & mask
+    c1 = jax.lax.bitcast_convert_type(x1, jnp.float32)
+    r1 = cot - c1  # exact: |r1| < ulp_bf16(cot), shared exponent range
+    x2 = jax.lax.bitcast_convert_type(r1, jnp.int32) & mask
+    c2 = jax.lax.bitcast_convert_type(x2, jnp.float32)
+    r2 = r1 - c2  # exact; holds the final <= 8 mantissa bits
+    dims = (((1,), (1,)), ((), ()))
+
+    def d(x):
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), onehot_t, dims,
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(c1) + d(c2) + d(r2)
+
+
+def _kernel_vmem(bases_ref, owners_ref, cot_ref, out_ref):
+    """Whole accumulator resident in VMEM: no per-step DMA at all.
+
+    The windowed kernel below serializes on a read-modify-write HBM round
+    trip per chunk (two dependent DMAs x P/CHUNK steps dominated its 1.08 ms
+    at P=393k — ~25x off the arithmetic cost). When the full (D, num_rows)
+    accumulator fits in VMEM, the output block (constant index map => it
+    stays VMEM-resident across the whole grid and is flushed once at the
+    end) IS the accumulator: the window update is a register-level
+    dynamic-slice add and the cotangent stream is auto-pipelined by the
+    grid; the kernel becomes MXU/VPU-bound (~0.3 ms)."""
+    acc = out_ref
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    base = bases_ref[c] * 128  # provably 128-aligned (block index * 128)
+    col = owners_ref[...] - base  # (1, CH), in [0, WIN) by contiguity
+    onehot_t = (
+        col == jax.lax.broadcasted_iota(jnp.int32, (WIN, CHUNK), 0)
+    ).astype(jnp.bfloat16)  # (WIN, CH): [j, i] = owner_i == base + j
+    partial = _onehot_dot(cot_ref[...], onehot_t)  # (D, WIN)
+    acc[:, pl.ds(base, WIN)] = acc[:, pl.ds(base, WIN)] + partial
 
 
 def _kernel(bases_ref, owners_ref, cot_ref, zero_ref, out_ref, acc, sem_in, sem_out):
@@ -53,19 +121,8 @@ def _kernel(bases_ref, owners_ref, cot_ref, zero_ref, out_ref, acc, sem_in, sem_
     col = owners_ref[...] - base  # (1, CH), in [0, WIN) by contiguity
     onehot_t = (
         col == jax.lax.broadcasted_iota(jnp.int32, (WIN, CHUNK), 0)
-    ).astype(jnp.float32)  # (WIN, CH): [j, i] = owner_i == base + j
-    partial = jax.lax.dot_general(
-        cot_ref[...],
-        onehot_t,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        # The one-hot side is exact in bf16, but the COTANGENT side is not:
-        # MXU-default bf16x3 keeps only ~16 of its 24 mantissa bits, and the
-        # lost low bits compounded to 6.6e-3 scaled grad drift on hardware
-        # (render parity was 6.6e-7; CPU interpret mode exact). HIGHEST
-        # restores full f32 products; D is tiny so the cost is sub-ms.
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (D, WIN)
+    ).astype(jnp.bfloat16)  # (WIN, CH): [j, i] = owner_i == base + j
+    partial = _onehot_dot(cot_ref[...], onehot_t)  # (D, WIN)
     acc[...] = acc[...] + partial
 
     write = pltpu.make_async_copy(
@@ -92,6 +149,33 @@ def segsum_contiguous(
         d += d_pad
     cols_pad = -(-num_rows // 128) * 128 + WIN  # headroom for the last window
     bases = jnp.clip(owners[::CHUNK] // 128, 0, (cols_pad - WIN) // 128)
+
+    # Whole-accumulator-in-VMEM fast path (see _kernel_vmem). The budget
+    # leaves generous room for the pipelined input blocks; beyond it
+    # (multi-M gaussian scenes) fall back to the windowed RMW kernel.
+    if d * cols_pad * 4 <= VMEM_ACC_BYTES:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(c,),
+            in_specs=[
+                pl.BlockSpec((1, CHUNK), lambda i, bases: (0, i)),
+                pl.BlockSpec((d, CHUNK), lambda i, bases: (0, i)),
+            ],
+            out_specs=pl.BlockSpec(
+                (d, cols_pad), lambda i, bases: (0, 0)
+            ),
+        )
+        out = pl.pallas_call(
+            _kernel_vmem,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((d, cols_pad), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+        )(bases, owners.reshape(1, p), cot)
+        return out[: d - d_pad if d_pad else d, :num_rows]
+
     zeros = jnp.zeros((d, cols_pad), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

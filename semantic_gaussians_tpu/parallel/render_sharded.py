@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.gaussians import GaussianParams
 from ..ops.binning import band_pair_budget, bin_gaussians
-from ..ops.composite_pallas import CompositeConfig, composite_pairs, pad_pair_cols
+from ..ops.composite_pallas import CompositeConfig, composite_pairs
 from ..ops.projection import project_gaussians
 from ..ops.rasterize import DEFAULT_TILE, _pack_pair_cols, _untile
 from ..utils.camera import Camera
@@ -81,7 +81,7 @@ def band_render_core(
         proj.means2d, proj.depths, proj.radii_xy, tile_shape,
         (band_rows, grid_w), budget,
     )
-    pair_data = pad_pair_cols(_pack_pair_cols(proj, binning), cfg)
+    pair_data = _pack_pair_cols(proj, binning, cfg)
     color, depth, final_t, n_contrib = composite_pairs(
         cfg, pair_data, bg_in, binning.tile_start, binning.tile_count
     )

@@ -343,12 +343,13 @@ def test_bin_gaussians_matches_bruteforce(rng):
         assert (seg == t).all()
 
     # gen-order invariants (segment-sum contract): owners non-decreasing,
-    # increments <= 1; tile_pos_of_gen maps gen pairs to their tile slots
+    # increments <= 1; gen_of_tile_pos maps tile slots to their gen pairs
     owners = np.asarray(b.gen_owner)[:total]
     diffs = np.diff(owners)
     assert (diffs >= 0).all() and (diffs <= 1).all()
-    tpg = np.asarray(b.tile_pos_of_gen)[:total]
-    assert len(np.unique(tpg)) == total
-    # the gaussian at tile slot tpg[i] is gen pair i's owner's original id
+    gtp = np.asarray(b.gen_of_tile_pos)[:total]
+    assert len(np.unique(gtp)) == total
+    # the gaussian at tile slot p is gen pair gen_of_tile_pos[p], whose
+    # owner's original id must match
     o2d = np.asarray(b.orig_to_dense)
-    np.testing.assert_array_equal(o2d[got_g[tpg]], owners)
+    np.testing.assert_array_equal(o2d[got_g], owners[gtp])

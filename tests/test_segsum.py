@@ -36,7 +36,7 @@ def test_matches_oracle(d, p, rows):
         jnp.asarray(cot), jnp.asarray(owners), rows, interpret=True
     )
     np.testing.assert_allclose(
-        np.asarray(out), _oracle(cot, owners, rows), rtol=1e-6, atol=1e-6
+        np.asarray(out), _oracle(cot, owners, rows), rtol=1e-6, atol=2e-5
     )
 
 
@@ -50,8 +50,11 @@ def test_last_window_at_row_boundary():
     out = segsum_contiguous(
         jnp.asarray(cot), jnp.asarray(owners), rows, interpret=True
     )
+    # atol covers f32 summation-order noise: the kernel accumulates three
+    # split-component partials (ops.segsum._onehot_dot) in a different
+    # order than the numpy oracle; a 512-pair segment drifts ~1e-5.
     np.testing.assert_allclose(
-        np.asarray(out), _oracle(cot, owners, rows), rtol=1e-6, atol=1e-6
+        np.asarray(out), _oracle(cot, owners, rows), rtol=1e-6, atol=2e-5
     )
 
 
@@ -68,3 +71,22 @@ def test_single_owner_all_pairs():
         np.asarray(out)[:, 0], cot.sum(axis=1), rtol=1e-5, atol=1e-5
     )
     assert np.abs(np.asarray(out)[:, 1:]).max() == 0.0
+
+
+def test_windowed_fallback_matches_oracle(monkeypatch):
+    """Force the windowed RMW kernel (the multi-M-gaussian fallback) and
+    check it against the oracle — the VMEM fast path covers every other
+    test in this file."""
+    import semantic_gaussians_tpu.ops.segsum as segsum_mod
+
+    monkeypatch.setattr(segsum_mod, "VMEM_ACC_BYTES", 0)
+    rng = np.random.default_rng(5)
+    d, p, rows = 11, 4 * CHUNK, 700
+    cot = rng.normal(size=(d, p)).astype(np.float32)
+    owners = _owners(p, rows, rng)
+    out = segsum_mod.segsum_contiguous.__wrapped__(
+        jnp.asarray(cot), jnp.asarray(owners), rows, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), _oracle(cot, owners, rows), rtol=1e-6, atol=2e-5
+    )

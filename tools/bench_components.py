@@ -168,8 +168,12 @@ def main():
     )
 
     # --- pack gather fwd --------------------------------------------------
+    cfg = CompositeConfig(
+        tile_h=DEFAULT_TILE[0], tile_w=DEFAULT_TILE[1],
+        grid_h=grid[0], grid_w=grid[1], num_channels=3, interpret=False,
+    )
     def pack_fwd(pr, bn):
-        pd = _pack_pair_cols(pr, bn)
+        pd = _pack_pair_cols(pr, bn, cfg)
         return jax.tree.map(
             lambda x: x - 1e-30 * jnp.mean(pd)
             if x.dtype == jnp.float32
@@ -187,7 +191,7 @@ def main():
 
     def pack_loss(m2d, colors, pr, bn):
         pr = _dc.replace(pr, means2d=m2d, colors=colors)
-        pd = _pack_pair_cols(pr, bn)
+        pd = _pack_pair_cols(pr, bn, cfg)
         return jnp.sum(pd * 1e-6)
 
     pack_grad = jax.grad(pack_loss, argnums=(0, 1))
@@ -205,11 +209,7 @@ def main():
     )
 
     # --- composite kernels ------------------------------------------------
-    cfg = CompositeConfig(
-        tile_h=DEFAULT_TILE[0], tile_w=DEFAULT_TILE[1],
-        grid_h=grid[0], grid_w=grid[1], num_channels=3, interpret=False,
-    )
-    pair0 = jax.jit(lambda pr, bn: pad_pair_cols(_pack_pair_cols(pr, bn), cfg))(
+    pair0 = jax.jit(lambda pr, bn: _pack_pair_cols(pr, bn, cfg))(
         proj0, bin0
     )
     bg = jnp.zeros(3)

@@ -41,7 +41,13 @@ def main():
     alive = jnp.ones((n,), bool)
     cam = make_camera(np.eye(3), np.zeros(3), 1.4, 1.1, w, h)
     target = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
-    budget = 655_360
+    # Same tuned-budget policy as bench.py (VERDICT r2: profile at the
+    # budget the bench actually runs, not a stale 655k).
+    from semantic_gaussians_tpu.pipelines.train import tuned_pair_budget
+
+    probe = render(cam, params, alive=alive, pair_budget=1 << 20)
+    budget = tuned_pair_budget(int(probe["num_pairs"]))
+    print(f"pairs={int(probe['num_pairs'])} tuned budget={budget}")
 
     def loss(params):
         out = render(cam, params, alive=alive, pair_budget=budget)
