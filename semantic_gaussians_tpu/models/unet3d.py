@@ -209,6 +209,55 @@ def _center27_rows(stem_kernel: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Layers
 # ---------------------------------------------------------------------------
+@jax.custom_vjp
+def _offset_conv(feats_pad, nbr, w):
+    """sum_k feats_pad[nbr[k]] @ w[k] with a memory-flat backward.
+
+    The plain lax.scan VJP saves each step's gathered rows — a (K, V, Cin)
+    residual PER CONV (5.5 GB at K=27, V=200k, C=256; ~180 GB across
+    MinkUNet34A's layers, measured via compile memory_analysis). The
+    hand-written backward re-gathers from the saved (V+1, Cin) input
+    instead: gathers are cheap to recompute, residual memory drops to the
+    layer inputs XLA keeps anyway."""
+    def body(acc, inp):
+        idx, wk = inp
+        g = feats_pad[idx]  # [V, Cin]; row V is zeros
+        return acc + jnp.dot(g, wk, preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((nbr.shape[1], w.shape[2]), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (nbr, w))
+    return out
+
+
+def _offset_conv_fwd(feats_pad, nbr, w):
+    return _offset_conv(feats_pad, nbr, w), (feats_pad, nbr, w)
+
+
+def _offset_conv_bwd(res, dout):
+    import numpy as _np
+    from jax.dtypes import float0 as _float0
+
+    feats_pad, nbr, w = res
+
+    def body(dfp, inp):
+        idx, wk = inp
+        # d feats: scatter-add of dout @ wk^T (the same scatter the scan
+        # VJP emitted); d w_k: re-gather + contract, no stored residual.
+        dfp = dfp.at[idx].add(
+            jnp.dot(dout, wk.T, preferred_element_type=jnp.float32)
+        )
+        dwk = jnp.dot(
+            feats_pad[idx].T, dout, preferred_element_type=jnp.float32
+        )
+        return dfp, dwk
+
+    dfp, dw = jax.lax.scan(body, jnp.zeros_like(feats_pad), (nbr, w))
+    return dfp, _np.zeros(nbr.shape, _float0), dw
+
+
+_offset_conv.defvjp(_offset_conv_fwd, _offset_conv_bwd)
+
+
 class SparseConv(nn.Module):
     """k^3 sparse conv: scan over offsets of gather+matmul."""
 
@@ -228,14 +277,7 @@ class SparseConv(nn.Module):
         feats_pad = jnp.concatenate(
             [feats, jnp.zeros((1, cin), feats.dtype)], axis=0
         )
-
-        def body(acc, inp):
-            idx, wk = inp
-            g = feats_pad[idx]  # [V, Cin]; row V is zeros
-            return acc + jnp.dot(g, wk, preferred_element_type=jnp.float32), None
-
-        acc0 = jnp.zeros((v, self.out_channels), jnp.float32)
-        out, _ = jax.lax.scan(body, acc0, (nbr, w))
+        out = _offset_conv(feats_pad, nbr, w)
         return out * level.mask[:, None]
 
 
@@ -250,8 +292,20 @@ class SparseConvDown(nn.Module):
         w = self.param(
             "kernel", nn.initializers.he_normal(), (8, cin, self.out_channels)
         )
-        # per-child contribution with octant-specific weights
-        contrib = jnp.einsum("vc,vco->vo", feats, w[link.octant])
+        # Per-child contribution with octant-specific weights. NOT
+        # einsum('vc,vco->vo', feats, w[link.octant]): gathering w by octant
+        # materializes a (V, Cin, Cout) tensor — 52 GB at the default
+        # 200k-voxel budget with 256-wide layers, in forward AND weight-grad.
+        # Eight octant-masked dense matmuls keep memory O(V*C) and the MXU
+        # fully dense (a 4x FLOP overcount on average — each child hits one
+        # octant — for a 300x memory cut).
+        contrib = jnp.zeros((v, self.out_channels), jnp.float32)
+        for o in range(8):
+            sel = (link.octant == o)[:, None]
+            contrib = contrib + jnp.dot(
+                jnp.where(sel, feats, 0.0), w[o],
+                preferred_element_type=jnp.float32,
+            )
         out = (
             jnp.zeros((v + 1, self.out_channels), jnp.float32)
             .at[link.parent_of]
@@ -275,7 +329,16 @@ class SparseConvUp(nn.Module):
             [parent_feats, jnp.zeros((1, cin), parent_feats.dtype)], axis=0
         )
         g = pf[link.parent_of]  # [V, Cin]
-        out = jnp.einsum("vc,vco->vo", g, w[link.octant])
+        # octant-masked matmuls instead of einsum over w[link.octant] — see
+        # SparseConvDown: the gathered-weight form materializes (V, Cin,
+        # Cout) and blows memory at real voxel budgets.
+        out = jnp.zeros((g.shape[0], self.out_channels), jnp.float32)
+        for o in range(8):
+            sel = (link.octant == o)[:, None]
+            out = out + jnp.dot(
+                jnp.where(sel, g, 0.0), w[o],
+                preferred_element_type=jnp.float32,
+            )
         return out * child_level.mask[:, None]
 
 

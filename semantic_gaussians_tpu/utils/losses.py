@@ -38,7 +38,18 @@ def _gaussian_window(window_size: int, sigma: float):
 
 
 def _depthwise_blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian blur on [H, W, C] with SAME padding."""
+    """Separable Gaussian blur on [H, W, C] with SAME padding.
+
+    HIGHEST precision is LOAD-BEARING: TPU convs default to bf16 products,
+    and SSIM's variance terms are computed as blur(x^2) - mu^2 — a
+    catastrophic cancellation once the two blurs carry independent ~2^-9
+    rounding. On hardware the default precision drove sigma^2 negative past
+    the c2=9e-4 stabilizer, the SSIM map exploded (observed photometric
+    losses of +-2 on renders with PSNR 25+), and — much worse — the SSIM
+    BACKWARD injected garbage image cotangents that inflated the densify
+    mean2D grad stats, cloning essentially every Gaussian each interval
+    (x1.6/event runaway in the 30k parity harness). CPU runs (f32 convs)
+    never saw it."""
     g = _gaussian_window(window_size, sigma)
     c = img.shape[-1]
     x = img[None]  # [1,H,W,C]
@@ -46,10 +57,12 @@ def _depthwise_blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.nda
     kw = jnp.tile(g[None, :, None, None], (1, 1, 1, c))
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
     x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c
+        x, kh, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c
+        x, kw, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return x[0]
 

@@ -143,6 +143,21 @@ def main():
         help="FIXED pair budget: adaptive budgets recompile the scan graph "
         "on every resize; a generous constant compiles once per capacity",
     )
+    ap.add_argument(
+        "--init-stride", type=int, default=2,
+        help="SfM-like init keeps every k-th true point. The round-2 run "
+        "used 6: at 480x352 that underfits so badly pre-densify (12 dB) "
+        "that EVERY gaussian exceeds the 0.0002 grad threshold and clone "
+        "doubling runs away (x45 points by iter 1400, PSNR stuck at 8 — "
+        "the reference protocol would do the same at that operating "
+        "point). A denser init puts the densify window in the regime the "
+        "reference actually runs in.",
+    )
+    ap.add_argument(
+        "--capacity", type=int, default=131072,
+        help="initial padded capacity: pre-size so capacity-doubling "
+        "recompiles (2-5 min each on the remote AOT service) stay rare",
+    )
     args = ap.parse_args()
 
     import jax
@@ -189,8 +204,11 @@ def main():
     else:
         gt = []
         for cam in train_cams + test_cams:
-            img = render(cam, true_params, true_alive)["render"]
-            gt.append(np.clip(np.asarray(img), 0.0, 1.0).astype(np.float32))
+            out = render(cam, true_params, true_alive)
+            assert int(out["overflow"]) == 0, "GT render clipped pairs"
+            gt.append(
+                np.clip(np.asarray(out["render"]), 0.0, 1.0).astype(np.float32)
+            )
         np.savez_compressed(gt_cache, gt=np.stack(gt))
     train_cams = [
         dc.replace(c, image=jnp.asarray(gt[i])) for i, c in enumerate(train_cams)
@@ -198,13 +216,14 @@ def main():
     test_gt = gt[n_train:]
     print("GT renders done")
 
-    # SfM-like sparse noisy init: every 6th true point + color noise.
-    sel = np.arange(0, len(tpts), 6)
+    # SfM-like sparse noisy init: every k-th true point + color noise.
+    sel = np.arange(0, len(tpts), args.init_stride)
     init_cols = np.clip(
         tcols[sel] + rng.normal(0, 0.08, (len(sel), 3)), 0, 1
     ).astype(np.float32)
     params, alive = init_from_pcd(
-        tpts[sel].astype(np.float32), init_cols, sh_degree=3, capacity=32768
+        tpts[sel].astype(np.float32), init_cols, sh_degree=3,
+        capacity=args.capacity,
     )
     state = init_train_state(params, alive)
     cfg = TrainConfig()
