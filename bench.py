@@ -18,6 +18,16 @@ import numpy as np
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--n", type=int, default=100_000,
+        help="gaussian count; 100k is the headline config, 1M matches "
+        "BASELINE config #2 (ScanNet-full scale)",
+    )
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -27,14 +37,14 @@ def main():
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    
+
     from semantic_gaussians_tpu.renderer import render
     from semantic_gaussians_tpu.utils.camera import make_camera
 
     from semantic_gaussians_tpu.core.gaussians import GaussianParams
 
     w, h = 640, 480
-    n = 100_000
+    n = args.n
     rng = np.random.default_rng(0)
     pts = rng.normal(size=(n, 3)).astype(np.float32) * np.array(
         [1.6, 1.1, 1.0], np.float32
@@ -64,7 +74,12 @@ def main():
     # policy train_loop's adaptive mode converges to (quarter-pow2 granules,
     # 1.25x headroom): everything in the pair stream (gathers, sorts, the
     # segment sum) scales with the static budget, not the live pair count.
-    probe = render(cam, params, alive=alive, pair_budget=1 << 20)
+    from semantic_gaussians_tpu.ops.binning import default_pair_budget
+
+    probe = render(
+        cam, params, alive=alive,
+        pair_budget=max(1 << 20, default_pair_budget(n)),
+    )
     pairs = int(probe["num_pairs"])
     assert int(probe["overflow"]) == 0, "probe budget overflow"
     from semantic_gaussians_tpu.pipelines.train import tuned_pair_budget
@@ -101,14 +116,16 @@ def main():
     dt = (time.perf_counter() - t0) / (iters * inner)
 
     rays_per_s = w * h / dt
+    label = f"{n // 1000}k" if n < 1_000_000 else f"{n / 1e6:g}M"
     print(
         json.dumps(
             {
-                "metric": "rays/s per chip (fwd+bwd), 640x480, 100k Gaussians",
+                "metric": f"rays/s per chip (fwd+bwd), 640x480, {label} Gaussians",
                 "value": round(rays_per_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_s / 1e8, 4),
                 "step_ms": round(dt * 1e3, 2),
+                "pairs": pairs,
                 "device": str(jax.devices()[0]),
             }
         )

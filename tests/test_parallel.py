@@ -42,9 +42,12 @@ def _scene(n=200, seed=0):
 @pytest.mark.slow
 def test_band_sharded_matches_single_device():
     params, alive = _scene()
-    # 8 devices x 8-px bands -> 64 rows minimum; use 128x64 image
-    cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.9, 128, 64)
-    mesh = make_mesh(8)
+    # interpret-mode pallas scales with tile count: a 64x32 image on a
+    # 4-device mesh (2 one-tile-row bands + 2 empty bands) keeps every
+    # code path — band split, empty-band devices, depth/overflow merge —
+    # at a quarter of the old 128x64/8-device wall time
+    cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.9, 64, 32)
+    mesh = make_mesh(4)
     bg = jnp.asarray([0.2, 0.1, 0.3])
     out_s = render_sharded(cam, params, alive, mesh, bg)
     out_1 = render(cam, params, alive, bg=bg, backend="pallas")
@@ -62,10 +65,14 @@ def test_band_sharded_matches_single_device():
 @pytest.mark.slow
 def test_band_sharded_gradients_psum():
     params, alive = _scene(n=150)
-    cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.9, 128, 64)
-    mesh = make_mesh(8)
+    # small image: interpret-mode pallas EXECUTION dominates this test (the
+    # cost is per-tile python-level kernel emulation, not shards — mesh 2
+    # vs 8 measures identical), so shrink pixels, keep the 4-way band split
+    # (2 non-empty bands + 2 empty-band devices)
+    cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.9, 64, 32)
+    mesh = make_mesh(4)
     key = jax.random.PRNGKey(0)
-    wimg = jax.random.uniform(key, (64, 128, 3))
+    wimg = jax.random.uniform(key, (32, 64, 3))
 
     def loss_sharded(p):
         return jnp.sum(render_sharded(cam, p, alive, mesh)["render"] * wimg)
