@@ -79,62 +79,76 @@ def main():
     print(f"HLO: {len(txt)} bytes -> /tmp/zero_schedule_hlo.txt")
 
     # --- schedule analysis -------------------------------------------------
-    # The entry computation is emitted in SCHEDULE ORDER after optimization.
-    entry = txt.split("ENTRY ")[-1]
-    lines = [l.strip() for l in entry.splitlines() if "=" in l]
-    starts = {}  # name -> (kind, line index)
-    windows = []
-    for i, l in enumerate(lines):
-        m = re.match(r"%?([\w\.\-]+) = .*?(reduce-scatter|all-gather|all-reduce)-start", l)
-        if m:
-            starts[m.group(1)] = (m.group(2), i)
-        m2 = re.search(r"(reduce-scatter|all-gather|all-reduce)-done\(%?([\w\.\-]+)", l)
-        if m2 and m2.group(2) in starts:
-            kind, s = starts.pop(m2.group(2))
-            between = lines[s + 1 : i]
-            compute = [
-                b.split(" = ")[0]
-                for b in between
-                if re.search(r"= \S+ (fusion|custom-call|dot|convolution|while)\(", b)
-                or "custom-call" in b
-            ]
-            windows.append(
-                dict(
-                    collective=kind,
-                    name=m2.group(2),
-                    window_ops=len(between),
-                    overlapped_compute=compute[:40],
-                )
+    # XLA:TPU's latency-hiding machinery shows up in the optimized module in
+    # three forms (all string-checkable):
+    #   1. `async_collective_fusion.N` computations: a collective BROKEN INTO
+    #      a start + continuation chunks that execute INSIDE compute fusions
+    #      (the host fusion's metadata names the op it rides in);
+    #   2. `async_collective_name=...-start.K` frontend attributes on
+    #      collectives that the scheduler runs asynchronously;
+    #   3. `flag_start`/`flag_end` barrier flags in
+    #      async_collective_fusion_config (non -1 => windowed execution).
+    collectives = []
+    for m in re.finditer(
+        r"%([\w\.\-]+) = [^\n]*? (all-gather|all-reduce|reduce-scatter)"
+        r"\(([^\n]*)", txt
+    ):
+        line = m.group(0)
+        sh = re.search(r"= \(?((?:f32|s32|u32|bf16)\[[0-9,]*\])", line)
+        fused_async = '"flag_start":"-1"' not in line and (
+            "async_collective_fusion_config" in line
+        )
+        named_async = "async_collective_name" in line
+        emitter = re.search(r'"emitter":"([\w]+)"', line)
+        meta = re.search(r'op_name="([^"]+)"', line)
+        collectives.append(
+            dict(
+                name=m.group(1),
+                kind=m.group(2),
+                shape=sh.group(1) if sh else "?",
+                async_fused=bool(fused_async),
+                async_named=bool(named_async),
+                emitter=emitter.group(1) if emitter else None,
+                op_name=meta.group(1) if meta else None,
             )
-    n_sync = len(
-        [
-            l
-            for l in lines
-            if re.search(r"= \S+ (reduce-scatter|all-gather|all-reduce)\(", l)
-        ]
-    )
+        )
+    # which compute hosts the collective continuations?
+    hosts = []
+    for m in re.finditer(
+        r"%(fusion\.[0-9]+) = [^\n]*calls=%(async_collective_fusion\.[0-9]+)"
+        r"[^\n]*", txt
+    ):
+        line = m.group(0)
+        meta = re.search(r'op_name="([^"]+)"', line)
+        hosts.append(
+            dict(
+                fusion=m.group(1),
+                computation=m.group(2),
+                hosted_in=meta.group(1) if meta else None,
+            )
+        )
+    n_async = sum(c["async_fused"] or c["async_named"] for c in collectives)
     report = dict(
-        topology="v5e:2x4 (8 chips, AOT)",
+        topology="v5e:2x4 (8 chips, AOT, latency-hiding scheduler)",
         step="make_band_train_step_zero",
         img=[h, w],
         capacity=n,
-        async_collectives=len(windows) + len(starts),
-        sync_collectives=n_sync,
-        unmatched_starts=list(starts),
-        windows=windows,
+        collectives=collectives,
+        async_count=n_async,
+        sync_count=len(collectives) - n_async,
+        continuation_hosts=hosts,
     )
     out = pathlib.Path(__file__).resolve().parent.parent / "ZERO_OVERLAP.json"
     out.write_text(json.dumps(report, indent=1))
-    overlapped = [w_ for w_ in windows if w_["overlapped_compute"]]
-    print(
-        f"collectives: {len(windows)} async ({len(overlapped)} with compute "
-        f"inside their start->done window), {n_sync} sync"
-    )
-    for w_ in windows:
-        print(
-            f"  {w_['collective']:<15} window {w_['window_ops']:>3} ops, "
-            f"compute inside: {len(w_['overlapped_compute'])}"
-        )
+    print(f"collectives: {len(collectives)} total, {n_async} async "
+          f"(fused/named), {len(hosts)} compute fusions hosting collective "
+          "continuations:")
+    for c in collectives:
+        tag = "ASYNC" if (c["async_fused"] or c["async_named"]) else "sync "
+        print(f"  {tag} {c['kind']:<14} {c['shape']:<24} "
+              f"{c['emitter'] or '-':<36} {c['op_name'] or ''}")
+    for h_ in hosts[:12]:
+        print(f"  continuation {h_['computation']:<28} inside {h_['hosted_in']}")
     print(f"wrote {out}")
 
 
