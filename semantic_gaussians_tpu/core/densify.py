@@ -16,13 +16,13 @@ Semantics parity notes:
   * split: grad-norm >= threshold and max-scale > percent_dense * extent;
     N=2 children sampled from N(0, scale) rotated into world, scales / 1.6,
     parent removed (gaussian_model.py:529-566).
-  * prune: opacity < min_opacity, plus (if max_screen_size) screen-radius and
-    0.1*extent world-size tests (gaussian_model.py:592-604). NOTE the
-    reference resets max_radii2D inside densification_postfix *before* the
-    prune mask is computed, so its screen-size test is inert in practice; we
-    keep the test (on the accumulated radii) but callers get reference
-    behavior with max_screen_size=None until after opacity resets, exactly
-    like the published configs use it.
+  * prune: opacity < min_opacity, plus (if max_screen_size) the 0.1*extent
+    world-size test (gaussian_model.py:592-604). The reference's
+    screen-RADIUS test is inert (densification_postfix zeroes max_radii2D
+    before the prune mask reads it, :525-527 vs :600-603) and we reproduce
+    that by default; DensifyConfig.screen_size_prune_active=True applies
+    the test as written — see that flag's comment for why the active
+    variant can annihilate a well-fit scene.
   * low-opacity parents are not cloned/split (the reference clones then
     immediately prunes both copies — same net effect).
   * stats (xyz grad accum / denom / max radii) reset after densify
@@ -64,6 +64,18 @@ class DensifyConfig:
     percent_dense: float = 0.01
     max_screen_size: float | None = None  # 20.0 after first opacity reset
     split_n: int = 2
+    # The reference's screen-radius prune is INERT: densification_postfix
+    # zeroes max_radii2D (gaussian_model.py:525-527) before the prune mask
+    # reads it (:600-603), so big_points_vs is always all-False — only the
+    # world-size (0.1*extent) test actually fires. Default False reproduces
+    # that behavior exactly; True applies the test as WRITTEN (on radii
+    # accumulated since the last densify). Active pruning is NOT a free
+    # upgrade: on a well-fit scene the grads sit below the clone/split
+    # threshold while flat-region splats legitimately exceed 20 px, so
+    # nothing replenishes what the prune removes — measured on the parity
+    # harness as a death spiral from 47k gaussians (PSNR 47.6) to literally
+    # 1 over three densify windows.
+    screen_size_prune_active: bool = False
 
 
 def add_stats(
@@ -162,7 +174,8 @@ def densify_and_prune(
 
     prune = opacity < cfg.min_opacity
     if cfg.max_screen_size is not None:
-        prune = prune | (dstate.max_radii2d > cfg.max_screen_size)
+        if cfg.screen_size_prune_active:  # the as-written (non-reference) test
+            prune = prune | (dstate.max_radii2d > cfg.max_screen_size)
         prune = prune | (max_scale > 0.1 * scene_extent)
     prune = prune & alive
 
