@@ -141,58 +141,7 @@ def bin_gaussians(
     )  # exclusive, clamped into [0, budget+1)
 
     pair_idx = jnp.arange(pair_budget, dtype=jnp.int32)
-    # Depth-ranked gaussian owning each pair slot: scatter each gaussian's
-    # range-start index to its offset, then a running max. Equivalent to
-    # searchsorted(cum, p, 'right') (owner j has offsets[j] <= p <
-    # offsets[j]+counts[j]; later gaussians start strictly after p) but
-    # avoids sorting budget+n keys — scan-searchsorted costs ~200ms and
-    # sort-searchsorted lands extra scalar-core fusions.
-    seed = (
-        jnp.full((pair_budget + 1,), -1, jnp.int32)
-        .at[jnp.minimum(offsets, pair_budget)]
-        .max(jnp.arange(n, dtype=jnp.int32))[:pair_budget]
-    )
-    g = jax.lax.cummax(seed)
-    valid = pair_idx < jnp.minimum(total, pair_budget)
-    g_safe = jnp.clip(g, 0, n - 1)
-    # Pair-slot owner offsets WITHOUT a gather: offsets are non-decreasing
-    # in depth order (offsets[j+1] = offsets[j] + counts[j]), and seed >= 0
-    # exactly at range-start positions, so the same cummax trick recovers
-    # the owner's start index from the slot index itself.
-    off_col = jax.lax.cummax(jnp.where(seed >= 0, pair_idx, -1))
-    # Rect data bit-packed into ONE s32 (x0:10 | y0:10 | w-1:10): the row
-    # gather was the pair stream's widest stretch (a (P,5) gather + its
-    # column-split loop fusion measured 3.5 ms at P=655k); two columns
-    # (packed rect + original id) cut the gathered and split bytes 60%.
-    # Bit budget: tile grids are <= 1024 per axis (16x32-px tiles => 16k x
-    # 32k px images); x0/y0 clipped to ntx-1/nty-1 only affects zero-count
-    # gaussians (never an owner of a valid pair).
-    assert ntx <= 1024 and nty <= 1024, "tile grid exceeds 10-bit packing"
-    packed_rect = (
-        (jnp.minimum(x0d, ntx - 1) << 20)
-        | (jnp.minimum(y0d, nty - 1) << 10)
-        | (wd - 1)
-    )
-    rows = jnp.stack([packed_rect, idx_d], axis=-1)[g_safe]  # [P, 2]
-    pr = rows[:, 0]
-    x0p = pr >> 20
-    y0p = (pr >> 10) & 1023
-    w = (pr & 1023) + 1
-    local = pair_idx - off_col
-    # local // w and local % w via f32: s32 divide has no VPU lowering (the
-    # int version measured 2.4 ms serialized at P=655k). Exact because
-    # 0 <= local < rect area (<= ~2k) and 1 <= w <= grid_w (<= ~80): both are
-    # far inside f32's exact-integer range, and correctly-rounded f32 divide
-    # cannot cross an integer boundary when the spacing 1/w >> ulp(local/w).
-    # Clamp local first: overflow slots carry garbage (masked out below).
-    local_f = jnp.clip(local, 0, 1 << 22).astype(jnp.float32)
-    q = jnp.floor(local_f / w.astype(jnp.float32)).astype(jnp.int32)
-    tx = x0p + (local - q * w)
-    ty = y0p + q
-    tile = ty * ntx + tx
-    tile = jnp.where(valid, tile, num_tiles)
-    g_key = jnp.where(valid, rows[:, 1], n)
-
+    num_pairs = jnp.minimum(total, pair_budget)
     # Dense owner ranks over pair-emitting gaussians: zero-count gaussians
     # sort to the END of the depth order (depth_key = inf), so the emitting
     # gaussians occupy depth ranks [0, num_dense) — their depth rank IS the
@@ -201,7 +150,63 @@ def bin_gaussians(
     # (owner span of any K consecutive pairs < K + 1).
     nonzero = counts_d > 0
     num_dense = jnp.sum(nonzero.astype(jnp.int32))
-    gen_owner = jnp.where(valid, g_safe, num_dense)
+
+    import os
+
+    from .expand import expand_pairs, table_fits
+
+    use_kernel = (
+        table_fits(n)
+        and pair_budget % 512 == 0
+        and not os.environ.get("SGTPU_NO_EXPAND")
+    )
+    if use_kernel:
+        # Pallas pair-expand kernel (ops.expand): owner ids by in-window
+        # compare+count, rect columns by one-hot MXU contraction — replaces
+        # the serialized seed scatter-max (0.88 ms at P=393k), two P-scale
+        # cummaxes, and the per-row-latency-bound (P, 2) table gather
+        # (0.71 ms) below.
+        tile, g_key, gen_owner = expand_pairs(
+            offsets, x0d, y0d, wd, idx_d, num_pairs, num_dense,
+            pair_budget, ntx, num_tiles, n,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        # XLA fallback (multi-M gaussian tables): depth-ranked owner of each
+        # pair slot via scatter-max + running max — equivalent to
+        # searchsorted(cum, p, 'right') but cheaper than sorting budget+n
+        # keys (scan-searchsorted costs ~200ms; sort-searchsorted lands
+        # extra scalar-core fusions).
+        seed = (
+            jnp.full((pair_budget + 1,), -1, jnp.int32)
+            .at[jnp.minimum(offsets, pair_budget)]
+            .max(jnp.arange(n, dtype=jnp.int32))[:pair_budget]
+        )
+        g = jax.lax.cummax(seed)
+        valid = pair_idx < num_pairs
+        g_safe = jnp.clip(g, 0, n - 1)
+        # Pair-slot owner offsets WITHOUT a gather: offsets are
+        # non-decreasing in depth order, and seed >= 0 exactly at
+        # range-start positions, so the same cummax trick recovers the
+        # owner's start index from the slot index itself.
+        off_col = jax.lax.cummax(jnp.where(seed >= 0, pair_idx, -1))
+        rows = jnp.stack([x0d, y0d, wd, idx_d], axis=-1)[g_safe]  # [P, 4]
+        x0p, y0p, w = rows[:, 0], rows[:, 1], rows[:, 2]
+        local = pair_idx - off_col
+        # local // w and local % w via f32: s32 divide has no VPU lowering
+        # (the int version measured 2.4 ms serialized at P=655k). Exact
+        # because 0 <= local < rect area (<= ~2k) and 1 <= w <= grid_w:
+        # both far inside f32's exact-integer range, and correctly-rounded
+        # f32 divide cannot cross an integer boundary when the spacing
+        # 1/w >> ulp(local/w). Clamp first: overflow slots carry garbage
+        # (masked out below).
+        local_f = jnp.clip(local, 0, 1 << 22).astype(jnp.float32)
+        q = jnp.floor(local_f / w.astype(jnp.float32)).astype(jnp.int32)
+        tx = x0p + (local - q * w)
+        ty = y0p + q
+        tile = jnp.where(valid, ty * ntx + tx, num_tiles)
+        g_key = jnp.where(valid, rows[:, 3], n)
+        gen_owner = jnp.where(valid, g_safe, num_dense)
     # original id -> dense rank (or N for zero-pair gaussians: sentinel row).
     # idx_d is a permutation, so its inverse comes from a second N-scale
     # sort — ~2x cheaper than the unique-index scatter it replaces (TPU

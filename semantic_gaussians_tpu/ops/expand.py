@@ -1,0 +1,197 @@
+"""Pair expansion as a Pallas kernel: slot -> (tile id, gaussian id, owner).
+
+TPU-native replacement for the XLA scatter/cummax/gather chain that turned
+per-Gaussian tile counts into the flat pair list (ops.binning): the seed
+scatter-max (TPU scatters serialize: 0.88 ms at P=393k), two P-scale
+cummaxes, and the (P, 2) rect-table gather (0.71 ms; per-row latency-bound
+like every TPU gather). This kernel keeps the depth-ordered offset/rect
+table VMEM-resident (9 rows x N: 3.6 MB at N=100k) and derives everything
+per 512-slot chunk from a 640-wide window of it:
+
+  owner(p)  = #{j : offsets[j] <= p} - 1     — a (W, CHUNK) compare + count
+              (the window covers the owner span: consecutive slots advance
+              the owner by <= 1 — the segment-sum contiguity invariant run
+              backwards; entries before the window satisfy offs <= p by
+              monotonicity and are accounted by the window base);
+  rect cols = one-hot(owner) contraction against the windowed table (MXU;
+              exact f32 via the 3-way bf16 split, values < 2^24);
+  tile id   = rect decode with the same exact-f32 divide as the XLA path.
+
+Role parity: step 3 of the cub pipeline (duplicateWithKeys,
+rasterizer_impl.cu:70-111) fused with its bookkeeping. Falls back to the
+XLA path in ops.binning when the table exceeds the VMEM budget (multi-M
+gaussian scenes).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 512
+WIN = CHUNK + 128  # table window per chunk (owner span + 128-alignment)
+VMEM_TABLE_BYTES = 12 * 1024 * 1024  # beyond this, callers use the XLA path
+
+
+def table_fits(n: int) -> bool:
+    n_pad = -(-n // 128) * 128 + WIN
+    return 9 * n_pad * 4 <= VMEM_TABLE_BYTES
+
+
+def _exact_dot(table_f32, onehot_bf16):
+    """table (R, W) @ onehot (W, CHUNK) with exact-f32 products: 3-way bf16
+    mantissa split of the table against the exactly-bf16 one-hot (see
+    ops.segsum._onehot_dot for why astype round trips are NOT safe here)."""
+    mask = jnp.int32(-0x10000)
+    x1 = jax.lax.bitcast_convert_type(table_f32, jnp.int32) & mask
+    c1 = jax.lax.bitcast_convert_type(x1, jnp.float32)
+    r1 = table_f32 - c1
+    x2 = jax.lax.bitcast_convert_type(r1, jnp.int32) & mask
+    c2 = jax.lax.bitcast_convert_type(x2, jnp.float32)
+    r2 = r1 - c2
+    dims = (((1,), (0,)), ((), ()))
+
+    def d(x):
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), onehot_bf16, dims,
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(c1) + d(c2) + d(r2)
+
+
+def _kernel(ntx: int, num_tiles: int, n: int):
+    def kernel(
+        bases_ref,  # scalar prefetch: (C,) 128-block index of window start
+        num_pairs_ref,  # scalar prefetch: (1,)
+        num_dense_ref,  # scalar prefetch: (1,)
+        offs_ref,  # (1, N_pad) s32, VMEM-resident (exclusive cumsum)
+        tab_ref,  # (8, N_pad) f32, VMEM-resident: x0, y0, w, idx, offs, pad
+        tile_ref,  # OUT (1, CHUNK) s32
+        gkey_ref,  # OUT (1, CHUNK) s32
+        owner_ref,  # OUT (1, CHUNK) s32
+    ):
+        c = pl.program_id(0)
+        base = bases_ref[c] * 128  # provably 128-aligned window start
+        p = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + c * CHUNK
+
+        offs = offs_ref[0, pl.ds(base, WIN)]  # (WIN,)
+        le = (
+            offs.reshape(WIN, 1) <= p
+        ).astype(jnp.bfloat16)  # (WIN, CHUNK); 0/1 exact in bf16
+        ones = jnp.ones((1, WIN), jnp.bfloat16)
+        cnt = jax.lax.dot_general(
+            ones, le, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, CHUNK); exact integer counts <= WIN
+        owner_rel = cnt.astype(jnp.int32) - 1  # in [0, WIN)
+        onehot = (
+            owner_rel == jax.lax.broadcasted_iota(jnp.int32, (WIN, CHUNK), 0)
+        ).astype(jnp.bfloat16)
+
+        tab = tab_ref[:, pl.ds(base, WIN)]  # (8, WIN)
+        cols = _exact_dot(tab, onehot)  # (8, CHUNK) f32
+        x0 = cols[0:1].astype(jnp.int32)
+        y0 = cols[1:2].astype(jnp.int32)
+        w = cols[2:3]
+        idx = cols[3:4].astype(jnp.int32)
+        off = cols[4:5].astype(jnp.int32)
+
+        local = (p - off).astype(jnp.float32)
+        # exact f32 divide: 0 <= local < rect area, 1 <= w <= grid_w (see
+        # ops.binning tile-decode note); clip guards invalid-slot garbage
+        q = jnp.floor(jnp.clip(local, 0.0, float(1 << 22)) / w).astype(
+            jnp.int32
+        )
+        lq = (p - off) - q * w.astype(jnp.int32)
+        tile = (y0 + q) * ntx + x0 + lq
+
+        valid = p < num_pairs_ref[0]
+        tile_ref[...] = jnp.where(valid, tile, num_tiles)
+        gkey_ref[...] = jnp.where(valid, idx, n)
+        owner_ref[...] = jnp.where(valid, base + owner_rel, num_dense_ref[0])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pair_budget", "ntx", "num_tiles", "n", "interpret")
+)
+def expand_pairs(
+    offsets: jnp.ndarray,  # [N] s32 exclusive cumsum of per-gaussian counts,
+    # clamped into [0, pair_budget+1) (depth order)
+    x0d: jnp.ndarray,  # [N] s32 rect left (tile units, depth order)
+    y0d: jnp.ndarray,  # [N] s32 rect top
+    wd: jnp.ndarray,  # [N] s32 rect width (>= 1)
+    idx_d: jnp.ndarray,  # [N] s32 original gaussian id
+    num_pairs: jnp.ndarray,  # [] s32 valid pairs (<= pair_budget)
+    num_dense: jnp.ndarray,  # [] s32 emitting-gaussian count
+    pair_budget: int,
+    ntx: int,
+    num_tiles: int,
+    n: int,
+    interpret: bool = False,
+):
+    """Returns (tile [P], g_key [P], gen_owner [P]) in generation order."""
+    p = pair_budget
+    assert p % CHUNK == 0, p
+    c = p // CHUNK
+    n_pad = -(-n // 128) * 128 + WIN
+    # sentinel pad: offsets past N must compare ">" any slot id
+    offs_pad = jnp.full((n_pad,), jnp.int32(1 << 30)).at[:n].set(offsets)
+    tab = jnp.zeros((8, n_pad), jnp.float32)
+    tab = tab.at[0, :n].set(x0d.astype(jnp.float32))
+    tab = tab.at[1, :n].set(y0d.astype(jnp.float32))
+    tab = tab.at[2].set(1.0)  # keep the in-kernel divide well-defined
+    tab = tab.at[2, :n].set(jnp.maximum(wd, 1).astype(jnp.float32))
+    tab = tab.at[3, :n].set(idx_d.astype(jnp.float32))
+    tab = tab.at[4, :n].set(offsets.astype(jnp.float32))
+
+    # chunk-start owners (the windows' anchors): C binary searches
+    starts = jnp.arange(0, p, CHUNK, dtype=jnp.int32)
+    owner0 = (
+        jnp.searchsorted(offsets, starts, side="right").astype(jnp.int32) - 1
+    )
+    bases = jnp.clip(owner0 // 128, 0, (n_pad - WIN) // 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (8, n_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, CHUNK), lambda i, *_: (0, i)),
+            pl.BlockSpec((1, CHUNK), lambda i, *_: (0, i)),
+            pl.BlockSpec((1, CHUNK), lambda i, *_: (0, i)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((1, p), jnp.int32),
+        jax.ShapeDtypeStruct((1, p), jnp.int32),
+        jax.ShapeDtypeStruct((1, p), jnp.int32),
+    ]
+    tile, gkey, owner = pl.pallas_call(
+        _kernel(ntx, num_tiles, n),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )(
+        bases,
+        num_pairs.reshape(1),
+        num_dense.reshape(1),
+        offs_pad.reshape(1, n_pad),
+        tab,
+    )
+    return tile[0], gkey[0], owner[0]

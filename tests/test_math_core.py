@@ -353,3 +353,38 @@ def test_bin_gaussians_matches_bruteforce(rng):
     # owner's original id must match
     o2d = np.asarray(b.orig_to_dense)
     np.testing.assert_array_equal(o2d[got_g], owners[gtp])
+
+
+def test_expand_kernel_matches_xla_path(rng, monkeypatch):
+    """The Pallas pair-expand kernel (ops.expand) must agree BITWISE with
+    the XLA scatter/cummax/gather fallback it replaces — same scene as the
+    bruteforce test plus overflow (budget smaller than the pair count)."""
+    import jax.numpy as jnp
+    from semantic_gaussians_tpu.ops.binning import bin_gaussians
+
+    n = 120
+    means2d = jnp.asarray(rng.uniform(-40, 200, size=(n, 2)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(0.5, 10, size=(n,)).astype(np.float32))
+    radii = jnp.asarray(
+        (rng.uniform(0, 60, size=(n, 2)) * (rng.uniform(size=(n, 1)) > 0.2))
+        .astype(np.float32)
+    )
+    for budget in (4096, 512):  # 512 overflows this scene: clipped pair list
+        b_kernel = bin_gaussians(
+            means2d, depths, radii, (16, 32), (6, 5), budget
+        )
+        monkeypatch.setenv("SGTPU_NO_EXPAND", "1")
+        b_xla = bin_gaussians.__wrapped__(
+            means2d, depths, radii, (16, 32), (6, 5), budget
+        )
+        monkeypatch.delenv("SGTPU_NO_EXPAND")
+        for f in (
+            "pair_gaussian", "pair_tile", "tile_start", "tile_count",
+            "num_pairs", "overflow", "gen_of_tile_pos", "gen_owner",
+            "orig_to_dense",
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(b_kernel, f)),
+                np.asarray(getattr(b_xla, f)),
+                err_msg=f"{f} (budget {budget})",
+            )
