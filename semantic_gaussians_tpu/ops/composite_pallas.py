@@ -81,6 +81,10 @@ class CompositeConfig(NamedTuple):
     grid_w: int  # number of tile cols
     num_channels: int
     interpret: bool
+    # pairs streamed per DMA round; multiple of 128 (lane alignment).
+    # 128 measured best at the bench config (256 halves DMA count but
+    # doubles wasted head/tail work and the O(chunk^2) termination matmul).
+    chunk: int = CHUNK
 
     @property
     def num_grad_rows(self) -> int:
@@ -107,11 +111,11 @@ class CompositeConfig(NamedTuple):
         return self.grid_h * self.grid_w
 
 
-def _tri(mode: str) -> jnp.ndarray:
-    """(CHUNK, CHUNK) 0/1 masks for prefix/suffix sums via LEFT-matmul:
+def _tri(mode: str, n: int) -> jnp.ndarray:
+    """(n, n) 0/1 masks for prefix/suffix sums via LEFT-matmul:
     out[i, p] = sum_j M[i, j] * x[j, p]."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)  # output i
-    col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)  # summed j
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)  # output i
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)  # summed j
     if mode == "prefix_excl":  # sum_{j < i}
         m = col < row
     elif mode == "suffix_excl":  # sum_{j > i}
@@ -228,16 +232,16 @@ def _alpha_terms(bt, basis, tox, toy, cfg):
     )
 
 
-def _tile_range(tile_start_ref, tile_count_ref):
+def _tile_range(tile_start_ref, tile_count_ref, chunk):
     """(aligned_start, head_skip, count, nchunks) for the current tile."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     t = ty * pl.num_programs(1) + tx
     start = tile_start_ref[t]
     count = tile_count_ref[t]
-    aligned = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    aligned = pl.multiple_of((start // chunk) * chunk, chunk)
     head = start - aligned
-    nchunks = pl.cdiv(head + count, CHUNK)
+    nchunks = pl.cdiv(head + count, chunk)
     return aligned, head, count, nchunks
 
 
@@ -259,6 +263,7 @@ def _scalar_spec(cfg):
 # --------------------------------------------------------------------------
 def _fwd_kernel(cfg: CompositeConfig):
     num_ch = cfg.num_channels
+    CHUNK = cfg.chunk
 
     def kernel(
         tile_start_ref,
@@ -273,7 +278,9 @@ def _fwd_kernel(cfg: CompositeConfig):
         cacc_ref,  # VMEM (C, PX) accumulator
         sems,  # DMA (2,)
     ):
-        aligned, head, count, nchunks = _tile_range(tile_start_ref, tile_count_ref)
+        aligned, head, count, nchunks = _tile_range(
+            tile_start_ref, tile_count_ref, CHUNK
+        )
         basis = _pixel_basis(cfg)
         tox = (pl.program_id(1) * cfg.tile_w).astype(jnp.float32) + 0.5 * (
             cfg.tile_w - 1
@@ -281,7 +288,7 @@ def _fwd_kernel(cfg: CompositeConfig):
         toy = (pl.program_id(0) * cfg.tile_h).astype(jnp.float32) + 0.5 * (
             cfg.tile_h - 1
         )
-        m_pre = _tri("prefix_excl")
+        m_pre = _tri("prefix_excl", CHUNK)
         cacc_ref[:] = jnp.zeros((num_ch, cfg.px), jnp.float32)
 
         def dma(k):
@@ -414,7 +421,7 @@ def _fwd_pallas(cfg: CompositeConfig, pair_data, bg, tile_start, tile_count):
             _scalar_spec(cfg),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, cfg.row_width, CHUNK), jnp.float32),
+            pltpu.VMEM((2, cfg.row_width, cfg.chunk), jnp.float32),
             pltpu.VMEM((cfg.num_channels, cfg.px), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -442,6 +449,7 @@ def _fwd_pallas(cfg: CompositeConfig, pair_data, bg, tile_start, tile_count):
 # --------------------------------------------------------------------------
 def _bwd_kernel(cfg: CompositeConfig):
     num_ch = cfg.num_channels
+    CHUNK = cfg.chunk
 
     def kernel(
         tile_start_ref,
@@ -459,7 +467,9 @@ def _bwd_kernel(cfg: CompositeConfig):
         out_sems,  # DMA (2,)
         head_sem,  # DMA ()
     ):
-        aligned, head, count, nchunks = _tile_range(tile_start_ref, tile_count_ref)
+        aligned, head, count, nchunks = _tile_range(
+            tile_start_ref, tile_count_ref, CHUNK
+        )
         basis = _pixel_basis(cfg)
         tox = (pl.program_id(1) * cfg.tile_w).astype(jnp.float32) + 0.5 * (
             cfg.tile_w - 1
@@ -676,9 +686,9 @@ def _bwd_pallas(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, cfg.row_width, CHUNK), jnp.float32),
-            pltpu.VMEM((2, cfg.row_width, CHUNK), jnp.float32),
-            pltpu.VMEM((cfg.row_width, CHUNK), jnp.float32),
+            pltpu.VMEM((2, cfg.row_width, cfg.chunk), jnp.float32),
+            pltpu.VMEM((2, cfg.row_width, cfg.chunk), jnp.float32),
+            pltpu.VMEM((cfg.row_width, cfg.chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -756,5 +766,5 @@ def pad_pair_cols(pair_data: jnp.ndarray, cfg: CompositeConfig) -> jnp.ndarray:
     buffer straight from the pack gather (ops.rasterize._pack_pair_cols);
     this helper remains for hand-built buffers (tools/microbenches)."""
     d, p = pair_data.shape
-    pad_p = CHUNK + (-p) % CHUNK
+    pad_p = cfg.chunk + (-p) % cfg.chunk
     return jnp.pad(pair_data, ((0, cfg.row_width - d), (0, pad_p)))

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 
 from .binning import TileBinning, bin_gaussians, default_pair_budget
 from .composite_pallas import (
-    CHUNK as PAIR_CHUNK,
     CompositeConfig,
     composite_pairs,
 )
@@ -170,7 +169,7 @@ def _pack_pair_cols(
         packed, ((0, 1), (0, cfg.row_width - packed.shape[1]))
     )
     budget = binning.pair_gaussian.shape[0]
-    pad_p = PAIR_CHUNK + (-budget) % PAIR_CHUNK
+    pad_p = cfg.chunk + (-budget) % cfg.chunk
     idx = jnp.pad(binning.pair_gaussian, (0, pad_p), constant_values=n)
     import os
 
@@ -243,6 +242,8 @@ def rasterize(
         proj.means2d, proj.depths, proj.radii_xy, tile_shape,
         (grid_h, grid_w), budget,
     )
+    import os
+
     cfg = CompositeConfig(
         tile_h=th,
         tile_w=tw,
@@ -250,6 +251,7 @@ def rasterize(
         grid_w=grid_w,
         num_channels=num_ch,
         interpret=jax.default_backend() == "cpu",
+        chunk=int(os.environ.get("SGTPU_COMP_CHUNK", "128")),
     )
     pair_data = _pack_pair_cols(proj, binning, cfg)
     color, depth, final_t, n_contrib = composite_pairs(
