@@ -153,11 +153,10 @@ def bin_gaussians(
 
     import os
 
-    from .expand import expand_pairs, table_fits
+    from .expand import expand_pairs
 
     use_kernel = (
-        table_fits(n)
-        and pair_budget % 512 == 0
+        pair_budget % 512 == 0
         and not os.environ.get("SGTPU_NO_EXPAND")
     )
     if use_kernel:
@@ -165,7 +164,10 @@ def bin_gaussians(
         # compare+count, rect columns by one-hot MXU contraction — replaces
         # the serialized seed scatter-max (0.88 ms at P=393k), two P-scale
         # cummaxes, and the per-row-latency-bound (P, 2) table gather
-        # (0.71 ms) below.
+        # (0.71 ms) below. Above ~330k gaussians the kernel streams its
+        # table windows from HBM (double-buffered DMA) instead of holding
+        # the table VMEM-resident — no size ceiling (r3 fell back to the
+        # XLA path there).
         tile, g_key, gen_owner = expand_pairs(
             offsets, x0d, y0d, wd, idx_d, num_pairs, num_dense,
             pair_budget, ntx, num_tiles, n,

@@ -18,9 +18,17 @@ per 512-slot chunk from a 640-wide window of it:
   tile id   = rect decode with the same exact-f32 divide as the XLA path.
 
 Role parity: step 3 of the cub pipeline (duplicateWithKeys,
-rasterizer_impl.cu:70-111) fused with its bookkeeping. Falls back to the
-XLA path in ops.binning when the table exceeds the VMEM budget (multi-M
-gaussian scenes).
+rasterizer_impl.cu:70-111) fused with its bookkeeping.
+
+Two table residency modes (round 4, VERDICT r3 item 2 — the 12 MB ceiling
+made 1M-gaussian scenes fall back to the slower XLA path):
+  * resident (N <= ~330k): the whole 9-row table lives in VMEM; each chunk
+    slices its 640-wide window directly.
+  * streamed (any N): the table stays in HBM (`memory_space=ANY`) and each
+    chunk's window is DMA'd into a double-buffered VMEM scratch — chunk
+    c+1's copy is issued before chunk c computes, so the ~23 KB transfers
+    hide behind the MXU contractions. Window bases come from the same
+    scalar-prefetched 128-aligned anchors.
 """
 from __future__ import annotations
 
@@ -33,10 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 512
 WIN = CHUNK + 128  # table window per chunk (owner span + 128-alignment)
-VMEM_TABLE_BYTES = 12 * 1024 * 1024  # beyond this, callers use the XLA path
+VMEM_TABLE_BYTES = 12 * 1024 * 1024  # beyond this, stream windows from HBM
 
 
 def table_fits(n: int) -> bool:
+    """True -> whole-table-VMEM-resident mode; False -> streamed mode."""
     n_pad = -(-n // 128) * 128 + WIN
     return 9 * n_pad * 4 <= VMEM_TABLE_BYTES
 
@@ -63,22 +72,57 @@ def _exact_dot(table_f32, onehot_bf16):
     return d(c1) + d(c2) + d(r2)
 
 
-def _kernel(ntx: int, num_tiles: int, n: int):
+def _kernel(ntx: int, num_tiles: int, n: int, num_chunks: int,
+            streamed: bool):
     def kernel(
         bases_ref,  # scalar prefetch: (C,) 128-block index of window start
         num_pairs_ref,  # scalar prefetch: (1,)
         num_dense_ref,  # scalar prefetch: (1,)
-        offs_ref,  # (1, N_pad) s32, VMEM-resident (exclusive cumsum)
-        tab_ref,  # (8, N_pad) f32, VMEM-resident: x0, y0, w, idx, offs, pad
+        offs_ref,  # (1, N_pad) s32: exclusive cumsum (VMEM or HBM)
+        tab_ref,  # (8, N_pad) f32: x0, y0, w, idx, offs, pad (VMEM or HBM)
         tile_ref,  # OUT (1, CHUNK) s32
         gkey_ref,  # OUT (1, CHUNK) s32
         owner_ref,  # OUT (1, CHUNK) s32
+        *scratch,  # streamed: offs_buf, tab_buf, sem_o, sem_t
     ):
         c = pl.program_id(0)
         base = bases_ref[c] * 128  # provably 128-aligned window start
         p = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + c * CHUNK
 
-        offs = offs_ref[0, pl.ds(base, WIN)]  # (WIN,)
+        if streamed:
+            offs_buf, tab_buf, sem_o, sem_t = scratch
+
+            def dmas(i, slot):
+                src = bases_ref[i] * 128
+                return (
+                    pltpu.make_async_copy(
+                        offs_ref.at[:, pl.ds(src, WIN)],
+                        offs_buf.at[slot], sem_o.at[slot],
+                    ),
+                    pltpu.make_async_copy(
+                        tab_ref.at[:, pl.ds(src, WIN)],
+                        tab_buf.at[slot], sem_t.at[slot],
+                    ),
+                )
+
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c == 0)
+            def _():
+                for d in dmas(0, 0):
+                    d.start()
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                for d in dmas(c + 1, 1 - slot):
+                    d.start()
+
+            for d in dmas(c, slot):
+                d.wait()
+            offs = offs_buf[slot, 0]  # (WIN,)
+            tab = tab_buf[slot]  # (8, WIN)
+        else:
+            offs = offs_ref[0, pl.ds(base, WIN)]  # (WIN,)
         le = (
             offs.reshape(WIN, 1) <= p
         ).astype(jnp.bfloat16)  # (WIN, CHUNK); 0/1 exact in bf16
@@ -92,7 +136,8 @@ def _kernel(ntx: int, num_tiles: int, n: int):
             owner_rel == jax.lax.broadcasted_iota(jnp.int32, (WIN, CHUNK), 0)
         ).astype(jnp.bfloat16)
 
-        tab = tab_ref[:, pl.ds(base, WIN)]  # (8, WIN)
+        if not streamed:
+            tab = tab_ref[:, pl.ds(base, WIN)]  # (8, WIN)
         cols = _exact_dot(tab, onehot)  # (8, CHUNK) f32
         x0 = cols[0:1].astype(jnp.int32)
         y0 = cols[1:2].astype(jnp.int32)
@@ -139,6 +184,7 @@ def expand_pairs(
     p = pair_budget
     assert p % CHUNK == 0, p
     c = p // CHUNK
+    streamed = not table_fits(n)
     n_pad = -(-n // 128) * 128 + WIN
     # sentinel pad: offsets past N must compare ">" any slot id
     offs_pad = jnp.full((n_pad,), jnp.int32(1 << 30)).at[:n].set(offsets)
@@ -157,22 +203,37 @@ def expand_pairs(
     )
     bases = jnp.clip(owner0 // 128, 0, (n_pad - WIN) // 128)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(c,),
-        in_specs=[
+    if streamed:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        scratch_shapes = [
+            pltpu.VMEM((2, 1, WIN), jnp.int32),
+            pltpu.VMEM((2, 8, WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        in_specs = [
             pl.BlockSpec(
                 (1, n_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (8, n_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
             ),
-        ],
+        ]
+        scratch_shapes = []
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(c,),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, CHUNK), lambda i, *_: (0, i)),
             pl.BlockSpec((1, CHUNK), lambda i, *_: (0, i)),
             pl.BlockSpec((1, CHUNK), lambda i, *_: (0, i)),
         ],
+        scratch_shapes=scratch_shapes,
     )
     out_shape = [
         jax.ShapeDtypeStruct((1, p), jnp.int32),
@@ -180,7 +241,7 @@ def expand_pairs(
         jax.ShapeDtypeStruct((1, p), jnp.int32),
     ]
     tile, gkey, owner = pl.pallas_call(
-        _kernel(ntx, num_tiles, n),
+        _kernel(ntx, num_tiles, n, c, streamed),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
