@@ -301,15 +301,18 @@ class VLPartPredictor:
         scale = self.cfg.img_size / max(h, w)
         boxes_enc = boxes * scale
 
-        s = self.cfg.img_size
         masks = []
         for i0 in range(0, len(boxes_enc), self.sam_batch):
             b = jnp.asarray(boxes_enc[i0 : i0 + self.sam_batch])
             logits, _iou = self._boxes_jit(self.vars, emb, b)
-            lg = jax.image.resize(
-                logits, (logits.shape[0], s, s), method="linear"
-            )[:, :rh, :rw]
-            lg = jax.image.resize(lg, (lg.shape[0], h, w), method="linear")
+            # fused low-res -> original resample (see models/automask.py:
+            # one scale_and_translate composes the reference's two bilinear
+            # interps without the (B, S, S) intermediate)
+            lg = jax.image.scale_and_translate(
+                logits, (logits.shape[0], h, w), (1, 2),
+                jnp.array([4.0 * h / rh, 4.0 * w / rw]), jnp.zeros(2),
+                method="linear", antialias=False,
+            )
             masks.append(np.asarray(lg > 0.0))
         masks = np.concatenate(masks)
 
