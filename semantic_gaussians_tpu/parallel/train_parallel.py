@@ -38,6 +38,27 @@ def stack_cameras(cams: list) -> Camera:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
 
 
+def _psum_scatter_leaf(g, axis):
+    """reduce-scatter one grad leaf along the Gaussian axis, flattened 2D.
+
+    Collapsing the trailing dims to (capacity, D) before the collective makes
+    the scatter dimension the MAJOR dim of a row-major 2D layout. Fed the raw
+    (capacity, 15, 3) sh_rest leaf, XLA:TPU picks layout {0,1,2} (capacity
+    minormost, so each Gaussian's 45 floats are strided across tiles); the
+    ring reduce-scatter emitter then bails — at 8k capacity it falls back to
+    SingleInputAllReduceScatterFusion scheduled synchronously, and at 131k it
+    REWRITES the op into a full all-reduce (RotatedPincerEmitter, 2x the ICI
+    bytes — observed in the AOT v5e 2x4 schedule dumps, ZERO_OVERLAP.json
+    round 3 vs 4). With contiguous per-shard rows the backend keeps a true
+    ring reduce-scatter and the latency-hiding scheduler can split it
+    async around the remaining backward compute.
+    """
+    shp = g.shape
+    g2 = g.reshape(shp[0], -1) if g.ndim != 2 else g
+    out = jax.lax.psum_scatter(g2, axis, scatter_dimension=0, tiled=True)
+    return out.reshape(out.shape[:1] + shp[1:])
+
+
 def make_parallel_train_step(
     mesh: Mesh,
     cfg: TrainConfig,
@@ -346,12 +367,7 @@ def make_band_train_step_zero(
         )
 
         # Per-leaf reduce_scatter: reduce + keep this device's Gaussian shard.
-        gshard = jax.tree.map(
-            lambda g: jax.lax.psum_scatter(
-                g, axis, scatter_dimension=0, tiled=True
-            ),
-            gparams,
-        )
+        gshard = jax.tree.map(lambda g: _psum_scatter_leaf(g, axis), gparams)
         pshard = jax.tree.map(
             lambda x: jax.lax.dynamic_slice_in_dim(x, band * blk, blk, 0),
             params,
@@ -491,10 +507,7 @@ def make_hybrid_train_step_zero(
         # small per-shard view psum (DCN at 1/nband bytes).
         gshard = jax.tree.map(
             lambda g: jax.lax.psum(
-                jax.lax.psum_scatter(
-                    g, axis_band, scatter_dimension=0, tiled=True
-                ),
-                axis_view,
+                _psum_scatter_leaf(g, axis_band), axis_view
             ),
             gparams,
         )

@@ -15,6 +15,7 @@ Writes ZERO_OVERLAP.json: per collective, the ops scheduled between its
 -start and -done (the overlap window), plus totals. The full HLO goes to
 /tmp/zero_schedule_hlo.txt for inspection.
 """
+import argparse
 import json
 import re
 
@@ -22,6 +23,27 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--opt", action="append", default=[],
+        help="TPU compiler option key=value (passed via compiler_options; "
+        "xla_tpu_* flags are known to the TPU compiler, not the client "
+        "XLA_FLAGS parser)",
+    )
+    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--capacity", type=int, default=8192,
+        help="Gaussian capacity for the AOT compile. 8192 compiles in ~40 s; "
+        "131072 approaches the production regime where the reduce-scatter "
+        "moves MBs and the scheduler's async cost model bites",
+    )
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--height", type=int, default=128)
+    cli = ap.parse_args()
+    compiler_options = {}
+    for kv in cli.opt:
+        k, _, v = kv.partition("=")
+        compiler_options[k] = {"true": True, "false": False}.get(v, v)
     import jax
     import jax.numpy as jnp
     from jax.experimental import topologies
@@ -43,7 +65,7 @@ def main():
     mesh = Mesh(np.array(topo.devices).reshape(-1), ("data",))
     print(f"topology: {len(topo.devices)} v5e devices")
 
-    w, h, n = 256, 128, 8192
+    w, h, n = cli.width, cli.height, cli.capacity
     rng = np.random.default_rng(0)
     pts = rng.normal(size=(n, 3)).astype(np.float32) + np.array([0, 0, 4], np.float32)
     k = 16
@@ -72,8 +94,9 @@ def main():
 
     args = jax.tree.map(sds, (state, cam, bg))
     lowered = step.lower(*args)
-    print("lowered; compiling for the unattached topology ...")
-    compiled = lowered.compile()
+    print(f"lowered; compiling for the unattached topology "
+          f"(options: {compiler_options or 'default'}) ...")
+    compiled = lowered.compile(compiler_options=compiler_options or None)
     txt = compiled.as_text()
     pathlib.Path("/tmp/zero_schedule_hlo.txt").write_text(txt)
     print(f"HLO: {len(txt)} bytes -> /tmp/zero_schedule_hlo.txt")
@@ -127,6 +150,32 @@ def main():
                 hosted_in=meta.group(1) if meta else None,
             )
         )
+    # --- schedule positions: where does each collective sit in the entry
+    # schedule, and how many estimated compute cycles remain after it?  A
+    # sync collective near the end has (and an async one would have) almost
+    # nothing to overlap with — this turns "is it async?" into the question
+    # that actually matters, "how much could overlap buy here?".
+    em = re.search(r"ENTRY [^\{]+\{(.*)\n\}", txt, re.S)
+    elines = [l for l in em.group(1).split("\n") if re.match(r"\s+%", l)]
+
+    def _cyc(l):
+        c = re.search(r'"estimated_cycles":"(\d+)"', l)
+        return int(c.group(1)) if c else 0
+
+    cum_after = [0] * (len(elines) + 1)
+    for i in range(len(elines) - 1, -1, -1):
+        cum_after[i] = cum_after[i + 1] + _cyc(elines[i])
+    total_cycles = cum_after[0]
+    epos = {}
+    for i, l in enumerate(elines):
+        nm = re.match(r"\s+%([\w\.\-]+) =", l)
+        if nm:
+            epos[nm.group(1)] = i
+    for c in collectives:
+        i = epos.get(c["name"])
+        if i is not None:
+            c["schedule_pos"] = [i, len(elines)]
+            c["est_cycles_after"] = cum_after[i + 1]
     n_async = sum(c["async_fused"] or c["async_named"] for c in collectives)
     report = dict(
         topology="v5e:2x4 (8 chips, AOT, latency-hiding scheduler)",
@@ -137,8 +186,13 @@ def main():
         async_count=n_async,
         sync_count=len(collectives) - n_async,
         continuation_hosts=hosts,
+        entry_total_est_cycles=total_cycles,
     )
-    out = pathlib.Path(__file__).resolve().parent.parent / "ZERO_OVERLAP.json"
+    if compiler_options:
+        report["compiler_options"] = {k: str(v) for k, v in compiler_options.items()}
+    out = pathlib.Path(cli.out) if cli.out else (
+        pathlib.Path(__file__).resolve().parent.parent / "ZERO_OVERLAP.json"
+    )
     out.write_text(json.dumps(report, indent=1))
     print(f"collectives: {len(collectives)} total, {n_async} async "
           f"(fused/named), {len(hosts)} compute fusions hosting collective "
