@@ -169,7 +169,7 @@ def main():
         "on every resize; a generous constant compiles once per capacity",
     )
     ap.add_argument(
-        "--init-frac", type=float, default=0.05,
+        "--init-frac", type=float, default=0.02,
         help="SfM-like init keeps a RANDOM fraction of the true points "
         "(isotropic; round 3's strided row-major selection produced "
         "anisotropic point stripes whose 3-NN scales were wrong). "
@@ -181,18 +181,34 @@ def main():
         "the 0.0002 clone/split threshold, prune outpaced growth, and the "
         "protocol could only LOSE PSNR (VERDICT r3 weak #1). Post-fix, a "
         "genuinely SfM-sparse init leaves densification real work, "
-        "matching the regime the reference runs in (ref train.py:112-174).",
+        "matching the regime the reference runs in (ref train.py:112-174). "
+        "Round 4 pilots (full-protocol, TPU): at d=3/5%% the run hit "
+        "41-42 dB by 7k iters and growth saturated at ~12.7k alive (grad "
+        "norms drop under the 0.0002 clone threshold once the GT is fit) "
+        "= 1.23x from 10.3k; at d=3/3%% growth peaked 6.2k->8.4k (1.36x) "
+        "while under-fit, then the scene saturated at ~40 dB with ~8k "
+        "splats and the 3k/6k opacity-reset prunes trimmed the "
+        "over-parameterization back to ~7.8k (1.26x at 15k). The growth "
+        "a reset-pruned protocol SUSTAINS is bounded by the gaussian "
+        "count the GT demands for fit, so the bar is set by scene "
+        "difficulty (see --density), and the init must sit well below "
+        "that demand: d=4 + 2%% leaves the demanded count several x the "
+        "init.",
     )
     ap.add_argument(
-        "--density", type=int, default=3,
-        help="true-scene point density d (~206k gaussians, ~2 px splats at "
-        "3). The texture wavelength representable by the TRUE scene is "
+        "--density", type=int, default=4,
+        help="true-scene point density d (~206k gaussians at 3, ~366k at "
+        "4). The texture wavelength representable by the TRUE scene is "
         "bounded below by its own splat size; at d=2 (6 px splats) every "
         "texture the scene can carry is also fittable by a few thousand "
         "big splats — pilots at 5-50%% init all reached 33-38 dB "
-        "pre-densify. d=3 with ~5 px checker cells is the first regime "
-        "where a sparse init CANNOT represent the texture and "
-        "densification has real work (the regime real captures occupy).",
+        "pre-densify. d=3 (~6 px checker cells) is the first regime "
+        "where a sparse init CANNOT represent the texture; its GT still "
+        "saturates at ~40 dB with ~8k splats (round-4 pilots under "
+        "--init-frac), so d=4 (~4.5 px cells) is the default: fit "
+        "demands a splat population several x any SfM-sparse init and "
+        "sustained densification is required, the regime real captures "
+        "occupy.",
     )
     ap.add_argument(
         "--init-jitter", type=float, default=0.05,
@@ -401,6 +417,7 @@ def main():
     alive0 = curve[0]["alive"]
     alive_15k = next(c["alive"] for c in curve if c["iter"] >= min(15000, args.iters))
     alive_end = curve[-1]["alive"]
+    alive_peak = max(c["alive"] for c in curve)
     valid_psnrs = [c["test_psnr"] for c in curve if np.isfinite(c["test_psnr"])]
     psnr_first = valid_psnrs[0] if valid_psnrs else float("nan")
     psnr_end = valid_psnrs[-1] if valid_psnrs else float("nan")
@@ -426,6 +443,7 @@ def main():
         curve=curve,
         opacity_reset_checks=reset_checks,
         final=dict(test_psnr=psnr_end, alive=alive_end,
+                   alive_peak=alive_peak,
                    total_overflow=total_overflow,
                    wall_s=round(wall_used + time.time() - t0, 1)),
         checks=checks,
