@@ -5,6 +5,12 @@ import numpy as np
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -18,7 +24,7 @@ def main():
     from semantic_gaussians_tpu.utils.logging_utils import profile_trace, top_ops
 
     w, h = 640, 480
-    n = 100_000
+    n = args.n
     rng = np.random.default_rng(0)
     pts = rng.normal(size=(n, 3)).astype(np.float32) * np.array(
         [1.6, 1.1, 1.0], np.float32
@@ -45,7 +51,12 @@ def main():
     # budget the bench actually runs, not a stale 655k).
     from semantic_gaussians_tpu.pipelines.train import tuned_pair_budget
 
-    probe = render(cam, params, alive=alive, pair_budget=1 << 20)
+    from semantic_gaussians_tpu.ops.binning import default_pair_budget
+
+    probe = render(
+        cam, params, alive=alive,
+        pair_budget=max(1 << 20, default_pair_budget(n)),
+    )
     budget = tuned_pair_budget(int(probe["num_pairs"]))
     print(f"pairs={int(probe['num_pairs'])} tuned budget={budget}")
 
