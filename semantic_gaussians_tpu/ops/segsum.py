@@ -33,10 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 512
 WIN = CHUNK + 128  # output window columns per chunk
-# VMEM budget for the whole-accumulator fast path; beyond it the windowed
-# RMW kernel handles multi-M-gaussian scenes. Module-level so tests can
-# force the fallback.
+# VMEM budget for the whole-accumulator fast path; beyond it the rolling-
+# panel kernel handles multi-M-gaussian scenes and wide-channel (C=512/768)
+# backward passes. Module-level so tests can force the fallback.
 VMEM_ACC_BYTES = 12 * 1024 * 1024
+PANEL = 4096  # rolling-panel columns (multiple of 128)
+STRIDE = PANEL - WIN  # flush granularity; >= CHUNK so one slide/chunk suffices
 
 
 def _onehot_dot(cot, onehot_t):
@@ -79,10 +81,8 @@ def _onehot_dot(cot, onehot_t):
 def _kernel_vmem(bases_ref, owners_ref, cot_ref, out_ref):
     """Whole accumulator resident in VMEM: no per-step DMA at all.
 
-    The windowed kernel below serializes on a read-modify-write HBM round
-    trip per chunk (two dependent DMAs x P/CHUNK steps dominated its 1.08 ms
-    at P=393k — ~25x off the arithmetic cost). When the full (D, num_rows)
-    accumulator fits in VMEM, the output block (constant index map => it
+    When the full (D, num_rows) accumulator fits in VMEM, the output block
+    (constant index map => it
     stays VMEM-resident across the whole grid and is flushed once at the
     end) IS the accumulator: the window update is a register-level
     dynamic-slice add and the cotangent stream is auto-pipelined by the
@@ -103,33 +103,74 @@ def _kernel_vmem(bases_ref, owners_ref, cot_ref, out_ref):
     acc[:, pl.ds(base, WIN)] = acc[:, pl.ds(base, WIN)] + partial
 
 
-def _kernel(bases_ref, owners_ref, cot_ref, zero_ref, out_ref, acc, sem_in, sem_out):
+def _kernel_panel(
+    scalars_ref, owners_ref, cot_ref, zero_ref, out_ref, acc,
+    sem_flush, sem_final,
+):
+    """Rolling-panel accumulator: resident-path arithmetic at any num_rows.
+
+    The previous fallback round-tripped a (D, WIN) read-modify-write DMA
+    through HBM per 512-pair chunk — two serialized latency-bound DMAs per
+    chunk (measured 11.2 ms of the 110 ms 1M-gaussian bench step; it also
+    ruled EVERY wide-channel backward, where D*num_rows never fits VMEM).
+    Owners are non-decreasing, so the active output window only advances:
+    keep a PANEL-column VMEM accumulator, add each chunk's one-hot partial
+    at a dynamic offset, and when the next window would cross the panel's
+    right edge, flush the leading STRIDE columns to HBM once (they are
+    final — later windows start strictly above them), shift the WIN-column
+    tail down, advance. Total flushes ~ num_rows/STRIDE for the whole grid
+    instead of 2 DMAs per chunk.
+
+    The per-chunk panel base is PRECOMPUTED in XLA and scalar-prefetched
+    (scalars_ref row 0 = window base block, row 1 = panel base block): a
+    first version tracked the panel base in SMEM inside the kernel, and the
+    compute-stream SMEM write feeding the next chunk's addressing forced a
+    scalar-core sync per chunk — 625 ms at the 1M config, 56x WORSE than
+    the RMW kernel it replaced. With prefetched bases the scalar core runs
+    ahead exactly as in _kernel_vmem. Blocks are 128-element units so lane
+    alignment stays PROVABLE to Mosaic (a raw value fails its check).
+    """
     del zero_ref  # aliased to out_ref; only its buffer is used
     c = pl.program_id(0)
-    # bases are stored as 128-element block indices: multiplying here makes
-    # the lane alignment PROVABLE to Mosaic (a raw value, even if aligned,
-    # fails its divisibility check).
-    base = bases_ref[c] * 128
+    nc = pl.num_programs(0)
 
-    # read-modify-write window [base, base + WIN) along the segment axis
-    read = pltpu.make_async_copy(
-        out_ref.at[:, pl.ds(base, WIN)], acc, sem_in
-    )
-    read.start()
-    read.wait()
+    @pl.when(c == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
 
+    base = scalars_ref[0, c] * 128
+    pb_blk = scalars_ref[1, c]
+
+    # Slide: pb advances by exactly STRIDE//128 blocks when it moves (owners
+    # step <= 1 => the window base advances <= CHUNK < STRIDE per chunk).
+    @pl.when((c > 0) & (pb_blk != scalars_ref[1, jnp.maximum(c - 1, 0)]))
+    def _():
+        old_pb = (pb_blk - STRIDE // 128) * 128
+        flush = pltpu.make_async_copy(
+            acc.at[:, pl.ds(0, STRIDE)],
+            out_ref.at[:, pl.ds(old_pb, STRIDE)],
+            sem_flush,
+        )
+        flush.start()
+        flush.wait()
+        acc[:, 0:WIN] = acc[:, STRIDE:PANEL]
+        acc[:, WIN:PANEL] = jnp.zeros_like(acc[:, WIN:PANEL])
+
+    off = (scalars_ref[0, c] - pb_blk) * 128  # window offset inside panel
     col = owners_ref[...] - base  # (1, CH), in [0, WIN) by contiguity
     onehot_t = (
         col == jax.lax.broadcasted_iota(jnp.int32, (WIN, CHUNK), 0)
     ).astype(jnp.bfloat16)  # (WIN, CH): [j, i] = owner_i == base + j
     partial = _onehot_dot(cot_ref[...], onehot_t)  # (D, WIN)
-    acc[...] = acc[...] + partial
+    acc[:, pl.ds(off, WIN)] = acc[:, pl.ds(off, WIN)] + partial
 
-    write = pltpu.make_async_copy(
-        acc, out_ref.at[:, pl.ds(base, WIN)], sem_out
-    )
-    write.start()
-    write.wait()
+    @pl.when(c == nc - 1)
+    def _():
+        final = pltpu.make_async_copy(
+            acc, out_ref.at[:, pl.ds(pb_blk * 128, PANEL)], sem_final
+        )
+        final.start()
+        final.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("num_rows", "interpret"))
@@ -147,13 +188,13 @@ def segsum_contiguous(
     if d_pad:
         cot = jnp.pad(cot, ((0, d_pad), (0, 0)))
         d += d_pad
-    cols_pad = -(-num_rows // 128) * 128 + WIN  # headroom for the last window
-    bases = jnp.clip(owners[::CHUNK] // 128, 0, (cols_pad - WIN) // 128)
-
     # Whole-accumulator-in-VMEM fast path (see _kernel_vmem). The budget
     # leaves generous room for the pipelined input blocks; beyond it
-    # (multi-M gaussian scenes) fall back to the windowed RMW kernel.
+    # (multi-M gaussian scenes, wide-channel backward) the rolling-panel
+    # kernel takes over.
+    cols_pad = -(-num_rows // 128) * 128 + WIN  # headroom for the last window
     if d * cols_pad * 4 <= VMEM_ACC_BYTES:
+        bases = jnp.clip(owners[::CHUNK] // 128, 0, (cols_pad - WIN) // 128)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(c,),
@@ -176,6 +217,18 @@ def segsum_contiguous(
         )(bases, owners.reshape(1, p), cot)
         return out[: d - d_pad if d_pad else d, :num_rows]
 
+    # Rolling panel: final-flush headroom of a full PANEL past the last
+    # owner block; the clip keeps every flush inside the padded buffer.
+    cols_pad = -(-num_rows // 128) * 128 + PANEL
+    base_blk = jnp.clip(owners[::CHUNK] // 128, 0, (cols_pad - PANEL) // 128)
+    # Per-chunk panel base, STRIDE-quantized ceil of (window end - PANEL):
+    # non-decreasing with base_blk, advances by exactly STRIDE//128 blocks
+    # per move (window base moves <= CHUNK < STRIDE per chunk), and keeps
+    # 0 <= base - pb <= STRIDE so the window sits inside the panel.
+    blk_w, blk_p, blk_s = WIN // 128, PANEL // 128, STRIDE // 128
+    need = base_blk + blk_w - blk_p
+    pb_blk = jnp.maximum(0, -((-need) // blk_s)) * blk_s
+    scalars = jnp.stack([base_blk, pb_blk]).astype(jnp.int32)
     zeros = jnp.zeros((d, cols_pad), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -188,16 +241,19 @@ def segsum_contiguous(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((d, WIN), jnp.float32),
+            pltpu.VMEM((d, PANEL), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
-        _kernel,
+        _kernel_panel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d, cols_pad), jnp.float32),
-        input_output_aliases={3: 0},  # zeros buffer -> output (RMW init)
+        input_output_aliases={3: 0},  # zeros -> output (untouched cols stay 0)
         interpret=interpret,
-    )(bases, owners.reshape(1, p), cot, zeros)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )(scalars, owners.reshape(1, p), cot, zeros)
     return out[: d - d_pad if d_pad else d, :num_rows]

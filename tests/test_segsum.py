@@ -73,10 +73,10 @@ def test_single_owner_all_pairs():
     assert np.abs(np.asarray(out)[:, 1:]).max() == 0.0
 
 
-def test_windowed_fallback_matches_oracle(monkeypatch):
-    """Force the windowed RMW kernel (the multi-M-gaussian fallback) and
-    check it against the oracle — the VMEM fast path covers every other
-    test in this file."""
+def test_panel_fallback_matches_oracle(monkeypatch):
+    """Force the rolling-panel kernel (the multi-M-gaussian / wide-channel
+    fallback) and check it against the oracle — the VMEM fast path covers
+    every other test in this file."""
     import semantic_gaussians_tpu.ops.segsum as segsum_mod
 
     monkeypatch.setattr(segsum_mod, "VMEM_ACC_BYTES", 0)
@@ -89,4 +89,64 @@ def test_windowed_fallback_matches_oracle(monkeypatch):
     )
     np.testing.assert_allclose(
         np.asarray(out), _oracle(cot, owners, rows), rtol=1e-6, atol=2e-5
+    )
+
+
+def test_panel_fallback_multiple_slides(monkeypatch):
+    """Owner range spanning several PANELs forces repeated flush/shift
+    slides (the panel kernel's new moving parts): every slide boundary,
+    the shifted WIN-column overlap, and the final whole-panel flush must
+    compose to the exact segment sum."""
+    import semantic_gaussians_tpu.ops.segsum as segsum_mod
+
+    monkeypatch.setattr(segsum_mod, "VMEM_ACC_BYTES", 0)
+    rng = np.random.default_rng(7)
+    p = 32 * CHUNK  # 16384 pairs
+    rows = 14000  # ~0.85 owner steps/pair -> spans ~3.4 PANELs of 4096
+    d = 7
+    cot = rng.normal(size=(d, p)).astype(np.float32)
+    owners = _owners(p, rows, rng)
+    assert owners[-1] > 2 * segsum_mod.PANEL  # really crosses panels
+    out = segsum_mod.segsum_contiguous.__wrapped__(
+        jnp.asarray(cot), jnp.asarray(owners), rows, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), _oracle(cot, owners, rows), rtol=1e-6, atol=2e-5
+    )
+
+
+def test_panel_fallback_segment_straddles_slide(monkeypatch):
+    """A single giant segment spanning several panels: base stays pinned
+    while owners advance... actually base follows owners[::CHUNK]; pin a
+    LONG run exactly across a STRIDE boundary so its partial sums split
+    across a flush and the shifted tail, then verify the total."""
+    import semantic_gaussians_tpu.ops.segsum as segsum_mod
+
+    monkeypatch.setattr(segsum_mod, "VMEM_ACC_BYTES", 0)
+    p = 24 * CHUNK
+    stride = segsum_mod.STRIDE
+    # owners: ramp at 1 step/pair to just short of STRIDE, hold that owner
+    # for 6 chunks (one long segment pinned at the first slide boundary),
+    # then ramp again.
+    ramp = np.arange(p, dtype=np.int32)
+    hold_at = stride - 64
+    resume = hold_at + 6 * CHUNK
+    owners = np.minimum(ramp, hold_at)
+    owners = np.where(ramp >= resume, hold_at + (ramp - resume), owners)
+    owners = owners.astype(np.int32)
+    steps = np.diff(owners)
+    assert ((steps >= 0) & (steps <= 1)).all()
+    rows = int(owners[-1]) + 1
+    rng = np.random.default_rng(11)
+    cot = rng.normal(size=(5, p)).astype(np.float32)
+    out = segsum_mod.segsum_contiguous.__wrapped__(
+        jnp.asarray(cot), jnp.asarray(owners), rows, interpret=True
+    )
+    # atol: the 3.1k-pair pinned segment is summed as per-chunk partials
+    # (some split across the flush/shift) in a different order than numpy's
+    # sequential add — observed 1.4e-4 ordering noise on sums of ~3k unit
+    # normals (rms ulp drift ~ 4e-6 * sqrt(3k)); a dropped or duplicated
+    # contribution would show as O(1).
+    np.testing.assert_allclose(
+        np.asarray(out), _oracle(cot, owners, rows), rtol=1e-4, atol=5e-4
     )
