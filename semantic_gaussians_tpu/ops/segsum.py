@@ -180,7 +180,18 @@ def segsum_contiguous(
     num_rows: int,  # output segments (max owner id + 1 allowed)
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """out[:, g] = sum of cot columns with owners == g; shape [D, num_rows]."""
+    """out[:, g] = sum of cot columns with owners == g; shape [D, num_rows].
+
+    The "steps of <= 1" contract is LOAD-BEARING for the rolling-panel
+    path, not just an optimization hint: the panel slide assumes the panel
+    base advances by exactly one STRIDE per move (possible only when the
+    window base moves <= CHUNK < STRIDE per chunk). An owners stream that
+    jumps by more than CHUNK across a chunk boundary would make the kernel
+    flush a whole STRIDE of accumulated columns to the WRONG output rows —
+    silent corruption, not dropped terms. Current callers (expand.py pair
+    owners, binning.py ranges) satisfy the invariant by construction,
+    including overflow/padding tails.
+    """
     d, p = cot.shape
     assert p % CHUNK == 0, p
     c = p // CHUNK

@@ -116,10 +116,9 @@ def test_panel_fallback_multiple_slides(monkeypatch):
 
 
 def test_panel_fallback_segment_straddles_slide(monkeypatch):
-    """A single giant segment spanning several panels: base stays pinned
-    while owners advance... actually base follows owners[::CHUNK]; pin a
-    LONG run exactly across a STRIDE boundary so its partial sums split
-    across a flush and the shifted tail, then verify the total."""
+    """One long segment pinned across the first STRIDE boundary, so its
+    partial sums split between a panel flush and the shifted tail; the
+    total per-owner sum must still match the oracle."""
     import semantic_gaussians_tpu.ops.segsum as segsum_mod
 
     monkeypatch.setattr(segsum_mod, "VMEM_ACC_BYTES", 0)

@@ -1,7 +1,7 @@
-import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 """Bisect the rolling-panel segsum slowdown (573 ms vs 11.2 ms RMW at the
 1M config). Variants isolate: conditional DMA, dynamic window offset,
 panel width, and the plain resident path at the SAME chunk count."""
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import functools
 import time
 

@@ -1,8 +1,8 @@
-import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 """Panel-segsum slowdown bisect, round 2: a ladder of kernels that all
 consume the full cotangent stream, from pure streaming up to the full
 rolling panel. Also: resident-path chunk-count scaling with production-like
 advancing owners."""
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import functools
 import time
 

@@ -40,9 +40,13 @@ def main():
     fn = segsum_mod.segsum_contiguous.__wrapped__
     res = np.asarray(fn(jnp.asarray(cot), jnp.asarray(owners), rows,
                         interpret=interp))
-    segsum_mod.VMEM_ACC_BYTES = 0  # force panel
-    pan = np.asarray(fn(jnp.asarray(cot), jnp.asarray(owners), rows,
-                        interpret=interp))
+    saved_vmem_budget = segsum_mod.VMEM_ACC_BYTES
+    try:
+        segsum_mod.VMEM_ACC_BYTES = 0  # force panel
+        pan = np.asarray(fn(jnp.asarray(cot), jnp.asarray(owners), rows,
+                            interpret=interp))
+    finally:
+        segsum_mod.VMEM_ACC_BYTES = saved_vmem_budget
     bitwise = np.array_equal(res, pan)
     print(f"resident-vs-panel bitwise equal: {bitwise} "
           f"(max|d|={np.abs(res - pan).max():.1e})")
