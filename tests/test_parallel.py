@@ -467,3 +467,65 @@ def test_hybrid_train_loop_protocol():
     # opacity reset landed at iter 18
     mx = float(np.asarray(state.params.opacity)[np.asarray(state.alive)].max())
     assert mx < 0.5  # reset at 18, only 6 recovery steps
+
+
+@pytest.mark.slow
+def test_parallel_fuse_step_matches_serial():
+    """View-parallel fusion (one view per chip, psum'd deltas) must match
+    the serial per-view fuse_view accumulation exactly."""
+    from semantic_gaussians_tpu.pipelines.fusion import (
+        _intrinsic_for,
+        fuse_view,
+        make_parallel_fuse_step,
+    )
+    from semantic_gaussians_tpu.pipelines.train import stack_camera_chunk
+    from semantic_gaussians_tpu.renderer import render as render_fn
+
+    rng = np.random.default_rng(5)
+    params, alive = _scene(n=150, seed=5)
+    n_dev, c = 8, 16
+    w, h = 48, 32
+    cams = [
+        make_camera(
+            np.eye(3), np.array([0.07 * i - 0.25, 0, 0]), 1.2, 0.9, w, h
+        )
+        for i in range(n_dev)
+    ]
+    feats = rng.normal(size=(n_dev, h, w, c)).astype(np.float32)
+    img_dim = (w, h)
+    intr = np.stack([_intrinsic_for(cam, img_dim) for cam in cams])
+    weights = np.ones(n_dev, np.float32)
+    weights[-1] = 0.0  # one padded slot exercises the view gate
+
+    mesh = make_mesh(n_dev)
+    step = make_parallel_fuse_step(
+        mesh, img_dim, vis_thres=0.1, cut_bound=1, depth_mode="render",
+        backend="dense",
+    )
+    sem0 = jnp.zeros((params.capacity, c))
+    cnt0 = jnp.zeros((params.capacity,))
+    sem_p, cnt_p = step(
+        sem0, cnt0, params, alive, stack_camera_chunk(cams),
+        jnp.asarray(intr), jnp.asarray(feats), jnp.asarray(weights),
+    )
+
+    sem_s, cnt_s = sem0, cnt0
+    for i in range(n_dev):
+        if weights[i] == 0.0:
+            continue
+        depth = render_fn(
+            cams[i], params, alive=alive, override_shape=img_dim,
+            backend="dense",
+        )["depth"]
+        sem_s, cnt_s = fuse_view(
+            sem_s, cnt_s, params.means, alive, cams[i].world_view,
+            jnp.asarray(intr[i]), jnp.asarray(feats[i]), depth, img_dim,
+            0.1, 1,
+        )
+    assert int(np.asarray(cnt_s > 0).sum()) > 20  # fusion actually hit
+    np.testing.assert_allclose(
+        np.asarray(cnt_p), np.asarray(cnt_s), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(sem_p), np.asarray(sem_s), rtol=1e-6, atol=1e-6
+    )
