@@ -54,9 +54,14 @@ def predict_label_image(
     pred_on_3d: bool = False,
     backend: str = "pallas",
     tile_shape=None,
+    pair_budget: Optional[int] = None,
 ) -> jnp.ndarray:
     """[H, W] int32 predicted ids in [0, K]; K = unlabeled/other
-    (class ids 0-based, 'other'/empty mapped to K)."""
+    (class ids 0-based, 'other'/empty mapped to K).
+
+    `pair_budget` matters at scale in the pred_on_3d=False path: the
+    capacity-derived default budget sizes the [C+rows, budget] pack buffer,
+    which at C=512 costs 2 KB/pair — pass the scene's tuned budget."""
     kp1 = text.shape[0]
     num_classes = kp1 - 1
     if pred_on_3d:
@@ -65,13 +70,13 @@ def predict_label_image(
         onehot = jax.nn.one_hot(cls, kp1) * alive[:, None]
         out = render_chn(
             camera, params, onehot, alive=alive, backend=backend,
-            tile_shape=tile_shape,
+            tile_shape=tile_shape, pair_budget=pair_budget,
         )
         pix = jnp.argmax(out["render"], axis=-1)  # [H, W] in [0, K]
     else:
         out = render_chn(
             camera, params, gauss_feats, alive=alive, backend=backend,
-            tile_shape=tile_shape,
+            tile_shape=tile_shape, pair_budget=pair_budget,
         )
         pf = _normalize(out["render"])  # [H, W, D]
         sims = jnp.einsum("hwd,kd->hwk", pf, text)
@@ -180,7 +185,7 @@ class EvalAccumulator:
 
 @partial(
     jax.jit,
-    static_argnames=("num_classes", "pred_on_3d", "backend"),
+    static_argnames=("num_classes", "pred_on_3d", "backend", "pair_budget"),
 )
 def _eval_chunk(
     cam_stack: Camera,  # array leaves stacked, leading K
@@ -192,6 +197,7 @@ def _eval_chunk(
     num_classes: int,
     pred_on_3d: bool,
     backend: str,
+    pair_budget: Optional[int] = None,
 ):
     """K views -> summed confusion in ONE dispatch (lax.scan over views).
 
@@ -205,7 +211,8 @@ def _eval_chunk(
     def body(conf, inp):
         cam, gt = inp
         pred = predict_label_image(
-            cam, params, alive, gauss_feats, text, pred_on_3d, backend
+            cam, params, alive, gauss_feats, text, pred_on_3d, backend,
+            pair_budget=pair_budget,
         )
         return conf + confusion_matrix_device(pred, gt, num_classes), None
 
@@ -241,6 +248,7 @@ def eval_views(
     stdout: bool = False,
     log_file: Optional[str] = None,
     chunk_views: int = 8,
+    pair_budget: Optional[int] = None,
 ):
     """Evaluate one scene over its views. Returns (mIoU, mAcc, confusion).
 
@@ -262,12 +270,13 @@ def eval_views(
         todo = rest
         conf = _eval_chunk(
             stacked[0], stacked[1], params, alive, gauss_feats, text_j,
-            num_classes, pred_on_3d, backend,
+            num_classes, pred_on_3d, backend, pair_budget,
         )
         acc.confusion += np.asarray(conf).astype(np.int64)
     for cam, gt in todo:
         pred = predict_label_image(
-            cam, params, alive, gauss_feats, text_j, pred_on_3d, backend
+            cam, params, alive, gauss_feats, text_j, pred_on_3d, backend,
+            pair_budget=pair_budget,
         )
         acc.add_view(np.asarray(pred), np.asarray(gt))
     miou, macc = acc.report(

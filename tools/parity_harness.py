@@ -40,7 +40,7 @@ import time
 import numpy as np
 
 
-def build_true_scene(rng, density: int = 1):
+def build_true_scene(rng, density: int = 1, return_classes: bool = False):
     """Textured surfaces as 'true' Gaussians (~21k at density=1, ~107k at 2).
 
     density=2 is the harness default: it halves the 3-NN init scales so
@@ -131,6 +131,18 @@ def build_true_scene(rng, density: int = 1):
 
     pts = np.concatenate(pts).astype(np.float32)
     cols = np.clip(np.concatenate(cols), 0, 1).astype(np.float32)
+    if return_classes:
+        # Semantic labels per construction segment (semantic_harness.py):
+        # 0 = floor (checker plane), 1 = ball, 2 = box, 3 = unlabeled dust.
+        n_plane = (110 * d) ** 2
+        n_sphere = 6000 * d * d
+        n_cube = 6 * (28 * d) ** 2
+        cls = np.concatenate([
+            np.full(n_plane, 0), np.full(n_sphere, 1),
+            np.full(n_cube, 2), np.full(len(pts) - n_plane - n_sphere - n_cube, 3),
+        ]).astype(np.int32)
+        assert len(cls) == len(pts)
+        return pts, cols, cls
     return pts, cols
 
 

@@ -1,0 +1,482 @@
+"""Semantic end-to-end harness: fusion -> distill -> eval at hardware scale.
+
+VERDICT r4 item 1: the RGB protocol has PARITY_HARNESS.json; this is the
+semantic analogue — the actual point of the reference paper — run at
+realistic scale on the TPU and committed as SEMANTIC_HARNESS.json.
+
+Scene: the parity harness's textured multi-object scene (checker floor,
+striped ball, textured box, dust) at density 3 (~206k Gaussians), taken
+directly as the *trained* 3DGS model the semantic pipeline operates on.
+Class identities fall out of the scene construction (floor/ball/box; dust
+unlabeled). An ORACLE 2D provider emits the exact 512-dim class text
+feature at every GT-labeled pixel of each 640x480 view — a perfect
+open-vocab segmenter, exactly the closed-loop construction of
+tests/test_closed_loop.py scaled from (512 Gaussians, 96x64, D=16) to
+(206k, 640x480, D=512).
+
+Stages (mirroring /root/reference/fusion.py:23-257, distill.py:60-148,
+eval_segmentation.py:63-168):
+  1. fuse   — render-depth occlusion, chunked device accumulate
+              (pipelines.fusion._fuse_chunk), features saved as the
+              reference-compatible {feat, mask_full} .pt checkpoint.
+  2. distill— sparse MinkUNet34A (56 -> 512 cosine) on the voxelized
+              scene, reference aug (elastic + hflip + random global shift).
+  3. eval   — '2d' (512-ch feature render path, pred_on_3d=False),
+              '3d' (distilled UNet, one-hot render path), and
+              '2d_and_3d' argmax ensemble; mIoU vs the planted labels.
+
+Checks: fused-vs-GT cosine, visited fraction, mIoU floors (2d > 0.9,
+3d > 0.8, ensemble > 0.8), distill loss convergence.
+
+Chunked/resumable like tools/parity_harness.py: with --state, progress
+checkpoints after every fusion chunk / distill epoch block and a rerun
+resumes (long detached processes get reaped in this sandbox).
+
+Usage: python tools/semantic_harness.py [--out SEMANTIC_HARNESS.json]
+         [--state /tmp/sem_state] [--max-seconds N] [--density 3]
+"""
+import argparse
+import dataclasses as dc
+import json
+import pickle
+import sys
+import time
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from tools.parity_harness import build_true_scene, ring_camera
+
+LABELS = ["floor", "ball", "box"]
+UNLABELED = len(LABELS)  # GT id for dust / background
+
+
+def build_gt_maps(cams, params, alive, cls, cache_path, backend="pallas"):
+    """GT label image per view, rendered from the true class identities.
+
+    Per-Gaussian one-hot class features through the pred_on_3d path (argmax
+    of the alpha-composited one-hot render) — boundary pixels resolve to
+    the dominant class, background to 'unlabeled', the same construction
+    the closed-loop test uses."""
+    import jax.numpy as jnp
+
+    from semantic_gaussians_tpu.pipelines.eval_segmentation import (
+        predict_label_image,
+    )
+
+    if cache_path.exists():
+        return list(np.load(cache_path)["gt"])
+    eye = np.eye(1 + len(LABELS), dtype=np.float32)  # row 0 = other
+    gfeat = np.where(
+        (cls < len(LABELS))[:, None], eye[np.minimum(cls + 1, len(LABELS))], 0.0
+    ).astype(np.float32)
+    gts = []
+    for cam in cams:
+        gt = np.asarray(
+            predict_label_image(
+                cam, params, alive, jnp.asarray(gfeat), jnp.asarray(eye),
+                pred_on_3d=True, backend=backend,
+            )
+        ).astype(np.uint8)
+        gts.append(gt)
+    np.savez_compressed(cache_path, gt=np.stack(gts))
+    return gts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SEMANTIC_HARNESS.json")
+    ap.add_argument("--state", default=None, help="chunked resume file")
+    ap.add_argument("--max-seconds", type=float, default=1e9)
+    ap.add_argument("--density", type=int, default=3,
+                    help="scene density (3 = ~206k Gaussians)")
+    ap.add_argument("--dim", type=int, default=512,
+                    help="CLIP-space feature dim (BASELINE config #3 class)")
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--n-fuse", type=int, default=30)
+    ap.add_argument("--n-eval", type=int, default=8)
+    ap.add_argument("--chunk-views", type=int, default=3,
+                    help="fusion views per device dispatch (HBM-bounded)")
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--epoch-block", type=int, default=25,
+                    help="distill epochs per resume checkpoint")
+    ap.add_argument("--voxel-size", type=float, default=0.02)
+    ap.add_argument("--voxel-budget", type=int, default=65536)
+    ap.add_argument("--workdir", default="/tmp/semantic_harness")
+    ap.add_argument("--backend", default="pallas",
+                    help="render backend (dense for CPU smoke runs)")
+    args = ap.parse_args()
+
+    from semantic_gaussians_tpu.utils.platform import setup_backend
+
+    setup_backend()
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from semantic_gaussians_tpu.core.gaussians import (
+        init_from_pcd,
+        packed_features,
+    )
+    from semantic_gaussians_tpu.io.ply import save_gaussian_ply
+    from semantic_gaussians_tpu.models.predictors import RandomFeatureProvider
+    from semantic_gaussians_tpu.models.unet3d import GRID_MAX, mink_unet
+    from semantic_gaussians_tpu.pipelines.distill import (
+        DistillConfig,
+        FeatureDataset,
+        make_distill_state,
+        make_distill_step,
+    )
+    from semantic_gaussians_tpu.pipelines.eval_segmentation import (
+        ensemble_argmax_class,
+        eval_views,
+        text_feature_matrix,
+        voxel_feats_to_gaussians,
+        voxelize_for_net,
+    )
+    from semantic_gaussians_tpu.pipelines.fusion import (
+        FusionConfig,
+        _fuse_chunk,
+        _intrinsic_for,
+        save_fused_features,
+    )
+    from semantic_gaussians_tpu.pipelines.train import stack_camera_chunk
+    from semantic_gaussians_tpu.utils.camera import make_camera_from_c2w
+
+    t_start = time.time()
+    work = pathlib.Path(args.workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(11)
+    w, h, D = args.width, args.height, args.dim
+
+    # ---- scene: the trained 3DGS model the semantic pipeline runs on ----
+    pts, cols, cls = build_true_scene(rng, density=args.density,
+                                      return_classes=True)
+    # A *trained* scene stand-in, not an SfM init: drop the free-space dust
+    # (a trained run prunes floaters; at 0.1 opacity the fat dust splats'
+    # haze crosses the median-depth T=0.5 threshold before any surface,
+    # which zeroes the depth-occlusion fusion) and use near-opaque
+    # surfaces so median depth reads the surface (trained surface splats
+    # sit near opacity 1; at init 0.1 a one-point-thick surface never
+    # crosses T=0.5 and every pixel's depth stays at the 15.0 init).
+    keep = cls < len(LABELS)
+    pts, cols, cls = pts[keep], cols[keep], cls[keep]
+    params, alive = init_from_pcd(pts, cols, sh_degree=3, init_opacity=0.95)
+    cap = params.capacity
+    cls_full = np.full(cap, UNLABELED, np.int32)
+    cls_full[: len(cls)] = cls
+    print(f"scene: {len(pts)} gaussians (cap {cap}); {w}x{h}; D={D}",
+          flush=True)
+
+    enc = RandomFeatureProvider(embedding_dim=D)
+    text = text_feature_matrix(enc, LABELS)  # [K+1, D], row 0 = other
+    # Per-pixel oracle lookup: gt id -> class text row; unlabeled -> zeros.
+    lookup = np.concatenate([text[1:], np.zeros((1, D), np.float32)])
+
+    cams = [
+        ring_camera(i + 0.5 / args.n_fuse, args.n_fuse, w, h,
+                    make=make_camera_from_c2w)
+        for i in range(args.n_fuse)
+    ]
+    eval_cams = [
+        ring_camera((i + 0.25) * args.n_fuse / args.n_eval + 0.5 / args.n_fuse,
+                    args.n_fuse, w, h, make=make_camera_from_c2w)
+        for i in range(args.n_eval)
+    ]
+
+    gt_cache = work / f"gt_d{args.density}_{w}x{h}.npz"
+    t0 = time.time()
+    gts_all = build_gt_maps(cams + eval_cams, params, alive,
+                            cls_full, gt_cache, backend=args.backend)
+    gt_fuse, gt_eval = gts_all[: args.n_fuse], gts_all[args.n_fuse:]
+    print(f"GT label maps: {time.time() - t0:.1f}s "
+          f"(cached: {gt_cache.exists()})", flush=True)
+
+    # ---- resumable state ----
+    st = dict(stage="fuse", view_done=0, sem_path=None, epoch=0,
+              timings=dict(), losses=[], metrics=dict())
+    if args.state and pathlib.Path(args.state).exists():
+        st = pickle.loads(pathlib.Path(args.state).read_bytes())
+        print(f"resumed: stage={st['stage']} view={st['view_done']} "
+              f"epoch={st['epoch']}", flush=True)
+
+    def save_state():
+        if args.state:
+            pathlib.Path(args.state).write_bytes(pickle.dumps(st))
+
+    def out_of_budget():
+        return time.time() - t_start > args.max_seconds
+
+    fcfg = FusionConfig(
+        img_dim=(w, h), every_k_views=1, depth="render", cut_boundary=10,
+        visibility_threshold=0.05, chunk_views=args.chunk_views,
+    )
+    ply_path = work / "point_cloud.ply"
+    fused_path = work / "fused_0.pt"
+
+    # ================= stage 1: fusion =================
+    if st["stage"] == "fuse":
+        k = args.chunk_views
+        if st["sem_path"] and pathlib.Path(st["sem_path"]).exists():
+            blob = np.load(st["sem_path"])
+            sem = jnp.asarray(blob["sem"])
+            counts = jnp.asarray(blob["counts"])
+        else:
+            sem = jnp.zeros((cap, D), jnp.float32)
+            counts = jnp.zeros((cap,), jnp.float32)
+        fuse_t = st["timings"].setdefault("fuse", dict(wall_s=0.0, views=0,
+                                                       chunks=[]))
+        while st["view_done"] < args.n_fuse:
+            t0 = time.time()
+            batch = list(range(st["view_done"],
+                               min(st["view_done"] + k, args.n_fuse)))
+            pad = k - len(batch)
+            idxs = batch + [batch[-1]] * pad
+            cam_stack = stack_camera_chunk(
+                [dc.replace(cams[i], image=None) for i in idxs]
+            )
+            feats = np.stack([lookup[gt_fuse[i]] for i in idxs])
+            intr = jnp.asarray(np.stack(
+                [_intrinsic_for(cams[i], fcfg.img_dim) for i in idxs]
+            ))
+            weights = jnp.asarray(
+                np.array([1.0] * len(batch) + [0.0] * pad, np.float32)
+            )
+            t_feat = time.time()
+            feat_dev = jnp.asarray(feats)
+            feat_dev.block_until_ready()
+            transfer_s = time.time() - t_feat
+            sem, counts = _fuse_chunk(
+                sem, counts, params, alive, cam_stack, intr, feat_dev,
+                None, weights, fcfg.img_dim, fcfg.visibility_threshold,
+                fcfg.cut_boundary, "render", args.backend, None,
+            )
+            counts.block_until_ready()
+            dt = time.time() - t0
+            st["view_done"] += len(batch)
+            fuse_t["wall_s"] += dt
+            fuse_t["views"] = st["view_done"]
+            fuse_t["chunks"].append(
+                dict(views=len(batch), s=round(dt, 2),
+                     transfer_s=round(transfer_s, 2))
+            )
+            print(f"fuse: {st['view_done']}/{args.n_fuse} views "
+                  f"({dt:.1f}s chunk, {transfer_s:.1f}s transfer)",
+                  flush=True)
+            sem_path = work / "fuse_acc.npz"
+            np.savez(sem_path, sem=np.asarray(sem),
+                     counts=np.asarray(counts))
+            st["sem_path"] = str(sem_path)
+            save_state()
+            if out_of_budget() and st["view_done"] < args.n_fuse:
+                print("CHUNK DONE (fuse); resume me", flush=True)
+                sys.exit(3)
+
+        visited = counts > 0
+        features = sem / jnp.maximum(counts[:, None], 1.0)
+        # fused-vs-GT cosine over visited, labeled gaussians
+        fused = np.asarray(features)
+        vis = np.asarray(visited)
+        labeled = (cls_full < len(LABELS)) & vis
+        gtf = lookup[np.minimum(cls_full, len(LABELS))]  # [cap, D]
+        num = (fused * gtf).sum(-1)
+        den = np.linalg.norm(fused, axis=-1) * np.linalg.norm(gtf, axis=-1)
+        cos = num[labeled] / np.maximum(den[labeled], 1e-8)
+        st["metrics"]["fused_cos_mean"] = float(cos.mean())
+        st["metrics"]["fused_cos_p10"] = float(np.percentile(cos, 10))
+        st["metrics"]["visited_frac_labeled"] = float(
+            (vis & (cls_full < len(LABELS))).sum()
+            / max((cls_full < len(LABELS)).sum(), 1)
+        )
+        t0 = time.time()
+        save_gaussian_ply(ply_path, params, np.asarray(alive))
+        save_fused_features(fused_path, fused, vis)
+        st["timings"]["fuse"]["save_s"] = round(time.time() - t0, 1)
+        st["stage"] = "distill"
+        save_state()
+        print(f"fusion done: cos={cos.mean():.4f} "
+              f"visited={st['metrics']['visited_frac_labeled']:.3f}",
+              flush=True)
+
+    # ================= stage 2: distill =================
+    dcfg = DistillConfig(
+        model_3d="MinkUNet34A", feature_dim=D, in_channels=56,
+        voxel_size=args.voxel_size, epochs=args.epochs, lr=1e-3,
+    )
+    ds = FeatureDataset(
+        [str(ply_path)], [str(fused_path)], voxel_size=args.voxel_size,
+        aug=True, voxel_budget=args.voxel_budget,
+    )
+    model, variables, tx, opt_state = make_distill_state(
+        dcfg, args.voxel_budget, len(ds), seed=0
+    )
+    if st["stage"] == "distill":
+        step = make_distill_step(model, tx, dcfg)
+        ck = work / "distill_state.pkl"
+        if st["epoch"] > 0 and ck.exists():
+            blob = pickle.loads(ck.read_bytes())
+            variables = jax.tree.map(jnp.asarray, blob["variables"])
+            opt_state = jax.tree.map(jnp.asarray, blob["opt_state"])
+        drng = np.random.default_rng(1000 + st["epoch"])
+        dis_t = st["timings"].setdefault(
+            "distill", dict(wall_s=0.0, epochs=0))
+        while st["epoch"] < args.epochs:
+            t0 = time.time()
+            n_block = min(args.epoch_block, args.epochs - st["epoch"])
+            for _ in range(n_block):
+                item = ds.__getitem__(0, seed=int(drng.integers(1 << 31)))
+                max_c = int(item.coords.max()) if item.coords.size else 0
+                hi = max(1, min(100, GRID_MAX - max_c))
+                coords = item.coords + drng.integers(
+                    0, hi, size=(1, 3)).astype(np.int32)
+                variables, opt_state, loss = step(
+                    variables, opt_state, jnp.asarray(coords),
+                    jnp.asarray(item.feats), jnp.asarray(item.gt),
+                    jnp.asarray(item.gt_mask), jnp.asarray(item.mask),
+                )
+                st["losses"].append(float(loss))
+            st["epoch"] += n_block
+            dt = time.time() - t0
+            dis_t["wall_s"] += dt
+            dis_t["epochs"] = st["epoch"]
+            dis_t["s_per_epoch"] = round(
+                dis_t["wall_s"] / max(st["epoch"], 1), 2)
+            print(f"distill: epoch {st['epoch']}/{args.epochs} "
+                  f"loss={st['losses'][-1]:.4f} ({dt:.1f}s block)",
+                  flush=True)
+            ck.write_bytes(pickle.dumps(dict(
+                variables=jax.tree.map(np.asarray, variables),
+                opt_state=jax.tree.map(np.asarray, opt_state),
+            )))
+            save_state()
+            if out_of_budget() and st["epoch"] < args.epochs:
+                print("CHUNK DONE (distill); resume me", flush=True)
+                sys.exit(3)
+        st["stage"] = "eval"
+        save_state()
+    else:
+        ck = work / "distill_state.pkl"
+        blob = pickle.loads(ck.read_bytes())
+        variables = jax.tree.map(jnp.asarray, blob["variables"])
+
+    # ================= stage 3: eval =================
+    from semantic_gaussians_tpu.pipelines.fusion import load_fused_features
+
+    feats_2d, _ = load_fused_features(fused_path, capacity=cap)
+    text_j = jnp.asarray(text)
+    gt_eval = [g.astype(np.int64) for g in gt_eval]
+
+    # Probe the live pair count once and size the eval renders' budget from
+    # it: the capacity-derived default (3.1M pairs at cap 262144) would give
+    # the 512-channel feature render a ~6.4 GB pack buffer.
+    from semantic_gaussians_tpu.renderer import render as render_fn
+    from semantic_gaussians_tpu.pipelines.train import tuned_pair_budget
+
+    probe = render_fn(eval_cams[0], params, alive=alive,
+                      backend=args.backend)
+    pairs = int(probe["num_pairs"])
+    assert int(probe["overflow"]) == 0
+    if args.backend == "pallas":
+        assert pairs > 0, "pallas probe saw no pairs"
+        eval_budget = tuned_pair_budget(pairs)
+    else:
+        eval_budget = None  # dense backend has no pair stream
+    st["metrics"]["live_pairs"] = pairs
+    print(f"eval: {pairs} live pairs -> budget {eval_budget}", flush=True)
+
+    # distilled per-Gaussian features (un-augmented voxelization)
+    n_alive = int(np.asarray(alive).sum())
+    locs = np.asarray(params.means)[:n_alive]
+    pf = np.asarray(packed_features(params, alive, "all"))[:n_alive]
+    t0 = time.time()
+    feats_in, topo, inverse, num_valid = voxelize_for_net(
+        locs, pf, args.voxel_size, args.voxel_budget
+    )
+    vout = model.apply(variables, feats_in, topo, train=False)
+    feats_3d = voxel_feats_to_gaussians(
+        np.asarray(vout), inverse, n_alive, cap, num_valid=num_valid
+    )
+    infer_s = time.time() - t0
+
+    ev = {}
+    t0 = time.time()
+    miou2d, macc2d, _ = eval_views(
+        eval_cams, gt_eval, params, alive, feats_2d, text, LABELS,
+        pred_on_3d=False, backend=args.backend, stdout=False,
+        chunk_views=args.n_eval, pair_budget=eval_budget,
+    )
+    ev["2d"] = dict(miou=round(miou2d, 4), macc=round(macc2d, 4),
+                    wall_s=round(time.time() - t0, 1))
+    print(f"eval 2d (512-ch render path): mIoU {miou2d:.4f} "
+          f"({ev['2d']['wall_s']}s)", flush=True)
+
+    t0 = time.time()
+    miou3d, macc3d, _ = eval_views(
+        eval_cams, gt_eval, params, alive, feats_3d, text, LABELS,
+        pred_on_3d=True, backend=args.backend, stdout=False,
+        chunk_views=args.n_eval, pair_budget=eval_budget,
+    )
+    ev["3d"] = dict(miou=round(miou3d, 4), macc=round(macc3d, 4),
+                    wall_s=round(time.time() - t0, 1),
+                    unet_infer_s=round(infer_s, 1))
+    print(f"eval 3d (distilled UNet): mIoU {miou3d:.4f}", flush=True)
+
+    t0 = time.time()
+    cls_ens = ensemble_argmax_class(feats_2d, feats_3d, text_j)
+    ens_feats = text_j[cls_ens] * alive[:, None]
+    miou_e, macc_e, _ = eval_views(
+        eval_cams, gt_eval, params, alive, ens_feats, text, LABELS,
+        pred_on_3d=True, backend=args.backend, stdout=False,
+        chunk_views=args.n_eval, pair_budget=eval_budget,
+    )
+    ev["2d_and_3d"] = dict(miou=round(miou_e, 4), macc=round(macc_e, 4),
+                           wall_s=round(time.time() - t0, 1))
+    print(f"eval 2d_and_3d (argmax ensemble): mIoU {miou_e:.4f}",
+          flush=True)
+    st["timings"]["eval"] = ev
+
+    m = st["metrics"]
+    m.update(miou_2d=miou2d, miou_3d=miou3d, miou_ensemble=miou_e,
+             distill_final_loss=float(np.mean(st["losses"][-10:])))
+    checks = dict(
+        fused_cos=m["fused_cos_mean"] > 0.95,
+        visited=m["visited_frac_labeled"] > 0.7,
+        distill_converged=m["distill_final_loss"] < 0.15,
+        miou_2d=miou2d > 0.9,
+        miou_3d=miou3d > 0.8,
+        miou_ensemble=miou_e > 0.8,
+    )
+    import jax as _jax
+
+    report = dict(
+        config=dict(
+            n_gaussians=len(pts), capacity=cap, dim=D, width=w, height=h,
+            n_fuse_views=args.n_fuse, n_eval_views=args.n_eval,
+            density=args.density, epochs=args.epochs,
+            voxel_size=args.voxel_size, voxel_budget=args.voxel_budget,
+            model_3d=dcfg.model_3d,
+            device=str(_jax.devices()[0]),
+        ),
+        timings=st["timings"],
+        metrics=m,
+        loss_curve=st["losses"][:: max(1, len(st["losses"]) // 100)],
+        checks=checks,
+        wall_s_total=round(
+            st["timings"]["fuse"]["wall_s"]
+            + st["timings"]["distill"]["wall_s"]
+            + sum(v["wall_s"] for v in ev.values()), 1),
+    )
+    pathlib.Path(args.out).write_text(json.dumps(report, indent=1))
+    print(json.dumps(dict(metrics=m, checks=checks)))
+    if not all(checks.values()):
+        print("SEMANTIC HARNESS: CHECK FAILURES", flush=True)
+        sys.exit(1)
+    print("SEMANTIC HARNESS: OK")
+
+
+if __name__ == "__main__":
+    main()
