@@ -59,11 +59,22 @@ class FeatureDataset:
         self.voxelizer = Voxelizer(voxel_size=voxel_size)
         self.prevox_aug = Compose([ElasticDistortion()]) if aug else None
         self.postvox_aug = Compose([RandomHorizontalFlip("z")]) if aug else None
+        self._raw_cache: dict = {}  # idx -> (locs, feats, gt, gt_mask)
+        self._raw_cache_max = 4
 
     def __len__(self):
         return len(self.scene_plys)
 
-    def __getitem__(self, idx: int, seed: Optional[int] = None) -> DistillItem:
+    def _load_raw(self, idx: int):
+        """Parse-once cache of the per-scene arrays. Epoch-loops call
+        __getitem__ once per scene per epoch; re-reading the PLY + fused
+        .pt (250 MB at a 205k-gaussian scene) dominated the distill epoch
+        (~35 s host vs <1 s device step). Augmentations stay per-epoch —
+        they operate on fresh arrays (ElasticDistortion returns
+        coords + interp, never mutates). Bounded LRU so multi-hundred-scene
+        datasets do not hold every scene in RAM."""
+        if idx in self._raw_cache:
+            return self._raw_cache[idx]
         from ..core.gaussians import packed_features
 
         params, alive = load_gaussian_ply(self.scene_plys[idx])
@@ -75,8 +86,17 @@ class FeatureDataset:
         gt_feat, gt_mask = load_fused_features(
             self.fused_files[idx], capacity=params.capacity
         )
-        gt_feat = np.asarray(gt_feat)[:n_alive]
-        gt_mask = np.asarray(gt_mask)[:n_alive]
+        out = (
+            locs, feats,
+            np.asarray(gt_feat)[:n_alive], np.asarray(gt_mask)[:n_alive],
+        )
+        if len(self._raw_cache) >= self._raw_cache_max:
+            self._raw_cache.pop(next(iter(self._raw_cache)))
+        self._raw_cache[idx] = out
+        return out
+
+    def __getitem__(self, idx: int, seed: Optional[int] = None) -> DistillItem:
+        locs, feats, gt_feat, gt_mask = self._load_raw(idx)
 
         if self.prevox_aug is not None:
             # distinct stream from the post-voxelize aug: the same seed
