@@ -204,9 +204,18 @@ def main():
         print(f"resumed: stage={st['stage']} view={st['view_done']} "
               f"epoch={st['epoch']}", flush=True)
 
+    def atomic_write(path, data: bytes):
+        """Write-to-temp + rename: a kill mid-write must not corrupt the
+        resume state (observed: a SIGTERM during the ~500 MB distill
+        checkpoint write)."""
+        p = pathlib.Path(path)
+        tmp = p.with_suffix(p.suffix + ".tmp")
+        tmp.write_bytes(data)
+        tmp.replace(p)
+
     def save_state():
         if args.state:
-            pathlib.Path(args.state).write_bytes(pickle.dumps(st))
+            atomic_write(args.state, pickle.dumps(st))
 
     def out_of_budget():
         return time.time() - t_start > args.max_seconds
@@ -348,7 +357,7 @@ def main():
             print(f"distill: epoch {st['epoch']}/{args.epochs} "
                   f"loss={st['losses'][-1]:.4f} ({dt:.1f}s block)",
                   flush=True)
-            ck.write_bytes(pickle.dumps(dict(
+            atomic_write(ck, pickle.dumps(dict(
                 variables=jax.tree.map(np.asarray, variables),
                 opt_state=jax.tree.map(np.asarray, opt_state),
             )))
