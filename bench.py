@@ -133,12 +133,21 @@ def main():
     # 100k-point compile would eat the bench time budget).
     k = 16
     sh_dc = ((jnp.asarray(cols) - 0.5) / 0.28209479177387814)[:, None, :]
+    # Splat sizes scale with point density (3-NN spacing ~ n^-1/3), the way
+    # a real SfM-initialized scene's do: at fixed sizes a 5M cloud in the
+    # same extent goes optically thick and bins ~14 tiles/gaussian — real
+    # MipNeRF-garden-class scenes sit at ~3. No-op at the 100k headline
+    # config; the 1M row re-measured under this law in round 5 (the r4
+    # number used fixed sizes — see STATUS).
+    density_shift = -np.log(max(n / 1e5, 1.0)) / 3.0
     params = GaussianParams(
         means=jnp.asarray(pts),
         sh_dc=sh_dc,
         sh_rest=jnp.zeros((n, k - 1, 3)),
         log_scales=jnp.asarray(
-            rng.uniform(-4.5, -3.0, size=(n, 3)).astype(np.float32)
+            (rng.uniform(-4.5, -3.0, size=(n, 3)) + density_shift).astype(
+                np.float32
+            )
         ),
         quats=jnp.zeros((n, 4)).at[:, 0].set(1.0),
         opacity_logits=jnp.asarray(
@@ -155,9 +164,16 @@ def main():
     # segment sum) scales with the static budget, not the live pair count.
     from semantic_gaussians_tpu.ops.binning import default_pair_budget
 
+    # Probe budget capped just under the binning's 2^24 f32-exact ceiling:
+    # default_pair_budget(5M) would ask for 60M (the heuristic's 12
+    # tiles/gaussian is far above what density-scaled splats produce), the
+    # probe's pair-stream buffers scale with the BUDGET, and single-chip
+    # budgets past ~16M pairs exceed HBM comfort regardless — the
+    # band-sharded multi-chip schedules are the design point above it.
     probe = render(
         cam, params, alive=alive,
-        pair_budget=max(1 << 20, default_pair_budget(n)),
+        pair_budget=max(1 << 20, min(default_pair_budget(n),
+                                     (1 << 24) - 8192)),
     )
     pairs = int(probe["num_pairs"])
     assert int(probe["overflow"]) == 0, "probe budget overflow"

@@ -273,7 +273,12 @@ def tuned_pair_budget(pairs: int) -> int:
     all budget-sized, keep <=56% slack vs pow2 buckets' 100%)."""
     want = max(8192, int(pairs * 1.25))
     granule = max(8192, 1 << max(int(np.log2(want)) - 2, 0))
-    return -(-want // granule) * granule
+    out = -(-want // granule) * granule
+    # Binning's offset cumsum is f32-exact only below 2^24 (binning.py
+    # asserts); headroom compresses rather than crossing the ceiling.
+    # Live pair counts at/above the ceiling belong on the band-sharded
+    # multi-chip path, not a bigger single-chip budget.
+    return min(out, (1 << 24) - 8192)
 
 
 def train_loop(
