@@ -97,6 +97,11 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument(
+        "--forward-only", action="store_true",
+        help="serving-path throughput: render forward only (the viewer / "
+        "eval / fusion read path), no backward or optimizer",
+    )
+    ap.add_argument(
         "--probe-timeout", type=float, default=150.0,
         help="seconds before declaring the accelerator wedged; 0 disables "
         "the probe (cold axon backend init alone measures ~60 s, so the "
@@ -191,15 +196,31 @@ def main():
     grad = jax.grad(loss)
     inner = 10
 
-    @jax.jit
-    def chained(params):
-        # One dispatch, `inner` dependent fwd+bwd steps on device — isolates
-        # device throughput from host/tunnel dispatch latency.
-        def body(i, p):
-            g = grad(p)
-            return jax.tree.map(lambda x, y: x - 1e-30 * y, p, g)
+    if args.forward_only:
+        import dataclasses as _dc
 
-        return jax.lax.fori_loop(0, inner, body, params)
+        @jax.jit
+        def chained(params):
+            # Dependent forward-only renders: fold a pixel back into the
+            # means so XLA cannot hoist the loop-invariant render.
+            def body(i, p):
+                out = render(cam, p, alive=alive, pair_budget=budget)
+                return _dc.replace(
+                    p, means=p.means + out["render"][0, 0, :3] * 1e-30
+                )
+
+            return jax.lax.fori_loop(0, inner, body, params)
+    else:
+
+        @jax.jit
+        def chained(params):
+            # One dispatch, `inner` dependent fwd+bwd steps on device —
+            # isolates device throughput from host/tunnel dispatch latency.
+            def body(i, p):
+                g = grad(p)
+                return jax.tree.map(lambda x, y: x - 1e-30 * y, p, g)
+
+            return jax.lax.fori_loop(0, inner, body, params)
 
     jax.block_until_ready(chained(params))  # compile
     iters = 3
@@ -212,10 +233,11 @@ def main():
 
     rays_per_s = w * h / dt
     label = f"{n // 1000}k" if n < 1_000_000 else f"{n / 1e6:g}M"
+    mode = "forward/serving" if args.forward_only else "fwd+bwd"
     print(
         json.dumps(
             {
-                "metric": f"rays/s per chip (fwd+bwd), {w}x{h}, {label} Gaussians",
+                "metric": f"rays/s per chip ({mode}), {w}x{h}, {label} Gaussians",
                 "value": round(rays_per_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_s / 1e8, 4),

@@ -41,6 +41,11 @@ class FusionConfig:
     # 0/1 = per-view dispatch. Auto-reduced if stacked feature maps would
     # exceed ~2.5 GB of HBM.
     chunk_views: int = 4
+    # Host->device dtype for the per-view feature maps. float16 halves the
+    # dominant transfer cost and matches the precision the reference's
+    # pipeline carries anyway (2D features are saved .half(),
+    # fusion.py:241); accumulation stays f32 either way.
+    feat_dtype: str = "float32"
 
 
 def _intrinsic_for(camera: Camera, img_dim) -> np.ndarray:
@@ -80,7 +85,10 @@ def fuse_view(
     mask = (mask > 0) & alive
     if weight is not None:
         mask = mask & (weight > 0)
-    feats = feat_map[v, u]  # [cap, C]
+    # feat_map may arrive half-precision (the reference's 2D features are
+    # stored fp16: fusion.py:241 .half()); gather in the narrow dtype —
+    # halves the dominant host->device transfer — and accumulate in f32.
+    feats = feat_map[v, u].astype(sem_sum.dtype)  # [cap, C]
     sem_sum = sem_sum + jnp.where(mask[:, None], feats, 0.0)
     counts = counts + mask.astype(counts.dtype)
     return sem_sum, counts
@@ -243,7 +251,7 @@ def fuse_scene(
         )
         return np.asarray(
             feature_provider.extract_image_feature(path, cfg.img_dim),
-            np.float32,
+            np.dtype(cfg.feat_dtype),
         )
 
     def load_depth(vi):

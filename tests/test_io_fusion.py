@@ -139,6 +139,37 @@ def test_fuse_scene_and_checkpoint(tmp_path, rng):
     )
 
 
+def test_fuse_scene_half_feature_maps(rng):
+    """feat_dtype=float16 (the reference's stored 2D-feature precision,
+    fusion.py:241) matches f32 fusion within fp16 rounding; counts exact."""
+    pts = (rng.normal(size=(100, 3)) * 0.3 + [0, 0, 3]).astype(np.float32)
+    cols = rng.uniform(size=(100, 3)).astype(np.float32)
+    params, alive = init_from_pcd(pts, cols, capacity=128)
+    cams = [
+        make_camera(np.eye(3), np.array([0.1 * i, 0, 0]), 1.2, 1.0, 64, 48)
+        for i in range(3)
+    ]
+    provider = RandomFeatureProvider(embedding_dim=8)
+    paths = [f"v{i}" for i in range(3)]
+    outs = {}
+    for dt in ("float32", "float16"):
+        cfg = FusionConfig(
+            img_dim=(64, 48), every_k_views=1, depth="none", cut_boundary=0,
+            feat_dtype=dt,
+        )
+        outs[dt] = fuse_scene(
+            params, alive, cams, provider, cfg, image_paths=paths,
+            backend="dense",
+        )
+    f32, v32 = outs["float32"]
+    f16, v16 = outs["float16"]
+    np.testing.assert_array_equal(np.asarray(v32), np.asarray(v16))
+    assert np.asarray(f16).dtype == np.float32  # accumulation stays f32
+    np.testing.assert_allclose(
+        np.asarray(f16), np.asarray(f32), atol=2e-3
+    )
+
+
 def test_fusion_depth_render_mode(rng):
     pts = (rng.normal(size=(80, 3)) * 0.3 + [0, 0, 3]).astype(np.float32)
     cols = rng.uniform(size=(80, 3)).astype(np.float32)

@@ -108,6 +108,11 @@ def main():
     ap.add_argument("--workdir", default="/tmp/semantic_harness")
     ap.add_argument("--backend", default="pallas",
                     help="render backend (dense for CPU smoke runs)")
+    ap.add_argument("--feat-dtype", default="float16",
+                    help="host->device dtype of the 2D feature maps; "
+                    "float16 matches the reference's stored feature "
+                    "precision and halves the dominant tunnel transfer "
+                    "(the committed r5 artifact was measured at float32)")
     args = ap.parse_args()
 
     from semantic_gaussians_tpu.utils.platform import setup_backend
@@ -248,7 +253,9 @@ def main():
             cam_stack = stack_camera_chunk(
                 [dc.replace(cams[i], image=None) for i in idxs]
             )
-            feats = np.stack([lookup[gt_fuse[i]] for i in idxs])
+            feats = np.stack([lookup[gt_fuse[i]] for i in idxs]).astype(
+                np.dtype(args.feat_dtype)
+            )
             intr = jnp.asarray(np.stack(
                 [_intrinsic_for(cams[i], fcfg.img_dim) for i in idxs]
             ))
@@ -464,6 +471,7 @@ def main():
     report = dict(
         config=dict(
             n_gaussians=len(pts), capacity=cap, dim=D, width=w, height=h,
+            feat_dtype=args.feat_dtype,
             n_fuse_views=args.n_fuse, n_eval_views=args.n_eval,
             density=args.density, epochs=args.epochs,
             voxel_size=args.voxel_size, voxel_budget=args.voxel_budget,
