@@ -201,3 +201,16 @@ def test_scan_dispatch_matches_single_step_loop():
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-2
         )
+
+
+def test_tuned_pair_budget_ceiling():
+    """Budgets clamp under binning's 2^24 f32-exact cumsum ceiling (the 5M
+    @ 1080p config probes ~11M live pairs; 1.25x headroom must compress
+    rather than trip binning.py's assert)."""
+    from semantic_gaussians_tpu.pipelines.train import tuned_pair_budget
+
+    assert tuned_pair_budget(100) == 8192
+    assert tuned_pair_budget(300_000) == 393_216  # the headline budget
+    cap = (1 << 24) - 8192
+    assert tuned_pair_budget(15_000_000) == cap
+    assert tuned_pair_budget(1 << 26) == cap
