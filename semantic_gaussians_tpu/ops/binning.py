@@ -58,6 +58,12 @@ class TileBinning:
     # Non-decreasing, increments by <= 1 between neighbours.
     orig_to_dense: jnp.ndarray  # [N] int32: original gaussian id -> dense
     # rank (pair-emitting gaussians) or N (sentinel row, zero gradient).
+    gen_live: jnp.ndarray  # [PAIR_BUDGET] bool, GENERATION order: pair is
+    # inside some tile range (valid AND not tight-culled). The pack-gather
+    # VJP zeroes the cotangents of non-live pairs — tight-culled pairs sit
+    # in the sorted tail where the composite backward never writes, so
+    # their tile-order cotangent columns are garbage, and their true
+    # gradient contribution is zero (every pixel fails the alpha cutoff).
 
 
 def tile_rects(
@@ -96,10 +102,21 @@ def bin_gaussians(
     tile_shape: Tuple[int, int],
     grid_shape: Tuple[int, int],
     pair_budget: int,
+    cull_ellipse: jnp.ndarray = None,  # [N, 3] conic / r^2 (r^2 =
+    # 2 ln(255*opacity), projection.py): enables the exact tile-ellipse
+    # cull — pairs whose tile lies wholly outside the splat's alpha >=
+    # 1/255 support are retired to the sentinel tile (output-exact;
+    # ~10% of live pairs at the bench configs). None disables.
 ) -> TileBinning:
     n = means2d.shape[0]
     nty, ntx = grid_shape
     num_tiles = nty * ntx
+    # Rect triples ride the depth sort bit-packed (one payload, and the
+    # pair-expand kernel's one f32 table row): x0/y0/w each < 256 bounds
+    # the grid at 255x255 tiles — 8160x4080 px at the default (16, 32).
+    assert ntx < 256 and nty < 256, (
+        f"grid {grid_shape} exceeds the 255x255-tile packed-rect bound"
+    )
 
     # Pre-sort Gaussians by depth ONCE (N elements), emit pairs in depth
     # order, then a SINGLE-KEY STABLE sort by tile id gives per-tile
@@ -112,17 +129,34 @@ def bin_gaussians(
     # argsort + five `x[depth_order]` gathers run on the TPU scalar core at
     # ~3.7ms each; one variadic sort is ~1ms total.
     depth_key = jnp.where(counts > 0, depths, jnp.inf)
-    _, counts_d, x0d, wd, y0d, idx_d = jax.lax.sort(
+    rect_packed = (x0 << 16) | (y0 << 8) | jnp.maximum(x1 - x0, 1)
+    cull_cols = ()
+    if cull_ellipse is not None:
+        # The cull is a discrete keep/drop decision — non-differentiable
+        # bookkeeping like every other int here (and the pair-expand kernel
+        # has no JVP rule); kept pairs' gradients flow through the gathered
+        # splat values, dropped pairs' true gradient is zero.
+        cull_cols = tuple(
+            jax.lax.stop_gradient(c)
+            for c in (
+                means2d[:, 0], means2d[:, 1],
+                cull_ellipse[:, 0], cull_ellipse[:, 1], cull_ellipse[:, 2],
+            )
+        )
+    sorted_cols = jax.lax.sort(
         (
             depth_key,
             counts,
-            x0,
-            jnp.maximum(x1 - x0, 1),
-            y0,
+            rect_packed,
             jnp.arange(n, dtype=jnp.int32),
-        ),
+        ) + cull_cols,
         num_keys=1,
         is_stable=True,
+    )
+    _, counts_d, pr_d, idx_d = sorted_cols[:4]
+    cull_d = (
+        jnp.stack(sorted_cols[4:9], axis=0) if cull_ellipse is not None
+        else None
     )
     # Prefix-sum in f32, not i32: a divergent phase can touch >2^31 pairs
     # (1M gaussians x full grid), and a wrapped i32 cumsum corrupts BOTH the
@@ -167,18 +201,21 @@ def bin_gaussians(
         # (0.71 ms) below. Above ~330k gaussians the kernel streams its
         # table windows from HBM (double-buffered DMA) instead of holding
         # the table VMEM-resident — no size ceiling (r3 fell back to the
-        # XLA path there).
+        # XLA path there). The exact tile-ellipse cull runs in the same
+        # pass when cull_ellipse is given (see ops.expand module doc).
+        th_px, tw_px = tile_shape
         tile, g_key, gen_owner = expand_pairs(
-            offsets, x0d, y0d, wd, idx_d, num_pairs, num_dense,
+            offsets, pr_d, idx_d, cull_d, num_pairs, num_dense,
             pair_budget, ntx, num_tiles, n,
+            tile_w=tw_px, tile_h=th_px,
             interpret=jax.default_backend() == "cpu",
         )
     else:
-        # XLA fallback (multi-M gaussian tables): depth-ranked owner of each
-        # pair slot via scatter-max + running max — equivalent to
-        # searchsorted(cum, p, 'right') but cheaper than sorting budget+n
-        # keys (scan-searchsorted costs ~200ms; sort-searchsorted lands
-        # extra scalar-core fusions).
+        # XLA fallback (non-granular budgets / SGTPU_NO_EXPAND): depth-
+        # ranked owner of each pair slot via scatter-max + running max —
+        # equivalent to searchsorted(cum, p, 'right') but cheaper than
+        # sorting budget+n keys (scan-searchsorted costs ~200ms;
+        # sort-searchsorted lands extra scalar-core fusions).
         seed = (
             jnp.full((pair_budget + 1,), -1, jnp.int32)
             .at[jnp.minimum(offsets, pair_budget)]
@@ -192,6 +229,9 @@ def bin_gaussians(
         # range-start positions, so the same cummax trick recovers the
         # owner's start index from the slot index itself.
         off_col = jax.lax.cummax(jnp.where(seed >= 0, pair_idx, -1))
+        x0d = pr_d >> 16
+        y0d = (pr_d >> 8) & 255
+        wd = pr_d & 255
         rows = jnp.stack([x0d, y0d, wd, idx_d], axis=-1)[g_safe]  # [P, 4]
         x0p, y0p, w = rows[:, 0], rows[:, 1], rows[:, 2]
         local = pair_idx - off_col
@@ -206,8 +246,20 @@ def bin_gaussians(
         q = jnp.floor(local_f / w.astype(jnp.float32)).astype(jnp.int32)
         tx = x0p + (local - q * w)
         ty = y0p + q
-        tile = jnp.where(valid, ty * ntx + tx, num_tiles)
-        g_key = jnp.where(valid, rows[:, 3], n)
+        live = valid
+        if cull_d is not None:
+            from .expand import TIGHTCULL_MARGIN, tile_min_qn
+
+            th_px, tw_px = tile_shape
+            cp = cull_d[:, g_safe]  # (5, P)
+            lox = (tx * tw_px).astype(jnp.float32) - cp[0]
+            hix = lox + float(tw_px - 1)
+            loy = (ty * th_px).astype(jnp.float32) - cp[1]
+            hiy = loy + float(th_px - 1)
+            qn = tile_min_qn(lox, hix, loy, hiy, cp[2], cp[3], cp[4])
+            live = valid & jnp.logical_not(qn > TIGHTCULL_MARGIN)
+        tile = jnp.where(live, ty * ntx + tx, num_tiles)
+        g_key = jnp.where(live, rows[:, 3], n)
         gen_owner = jnp.where(valid, g_safe, num_dense)
     # original id -> dense rank (or N for zero-pair gaussians: sentinel row).
     # idx_d is a permutation, so its inverse comes from a second N-scale
@@ -243,6 +295,7 @@ def bin_gaussians(
         gen_of_tile_pos=sorted_gen,
         gen_owner=gen_owner,
         orig_to_dense=orig_to_dense,
+        gen_live=tile < num_tiles,
     )
 
 

@@ -14,7 +14,13 @@ CPU-runnable small config (BASELINE config #1). Exactly reproduces:
 
 With `tile_shape` given, contributions are additionally restricted to each
 Gaussian's tile-aligned bounding rect (getRect, auxiliary.h:46-56) so the
-oracle is bit-comparable with the tiled kernels.
+oracle is bit-comparable with the tiled kernels. When the projection
+carries `cull_ellipse`, the tiled path additionally retires pairs whose
+tile fails the exact ellipse-support test (ops.expand.tile_min_qn); the
+oracle reproduces that decision per (gaussian, pixel-tile) with the SAME
+shared formula so per-tile walk counts (n_contrib) stay bit-comparable.
+The cull never changes rendered output: every pixel of a culled tile
+fails the alpha cutoff by construction.
 """
 from __future__ import annotations
 
@@ -55,6 +61,12 @@ def rasterize_dense(
     colors = proj.colors[order]
     depths = proj.depths[order]
     radii_xy = proj.radii_xy[order]
+    # Tile-ellipse cull rows (zeros = no cull; matches the binning paths).
+    cull_e = (
+        jnp.zeros((n, 3), jnp.float32)
+        if proj.cull_ellipse is None
+        else proj.cull_ellipse[order]
+    )
 
     ys = jnp.arange(img_height, dtype=jnp.float32)
     xs = jnp.arange(img_width, dtype=jnp.float32)
@@ -69,7 +81,7 @@ def rasterize_dense(
 
     def step(state, row):
         T, C, D, done, n_contrib, walk = state
-        mean2d, conic, o, color, depth, rect_xy = row
+        mean2d, conic, o, color, depth, rect_xy, ce = row
         dx = mean2d[0] - px_x
         dy = mean2d[1] - px_y
         power = (
@@ -97,6 +109,16 @@ def rasterize_dense(
             in_rect = (
                 (tile_ix >= x0) & (tile_ix < x1) & (tile_iy >= y0) & (tile_iy < y1)
             )
+            # Exact tile-ellipse cull — the SAME shared formula the binning
+            # paths retire pairs with, evaluated at this pixel's tile.
+            from .expand import TIGHTCULL_MARGIN, tile_min_qn
+
+            lox = (tile_ix * tw).astype(jnp.float32) - mean2d[0]
+            hix = lox + float(tw - 1)
+            loy = (tile_iy * th).astype(jnp.float32) - mean2d[1]
+            hiy = loy + float(th - 1)
+            qn = tile_min_qn(lox, hix, loy, hiy, ce[0], ce[1], ce[2])
+            in_rect = in_rect & jnp.logical_not(qn > TIGHTCULL_MARGIN)
             candidate = candidate & in_rect
         test_T = T * (1.0 - alpha)
         terminate = candidate & (test_T < T_EPS)
@@ -135,7 +157,7 @@ def rasterize_dense(
         ),
     )
     (T, C, D, _, n_contrib, _), _ = jax.lax.scan(
-        step, init, (means2d, conics, opac, colors, depths, radii_xy)
+        step, init, (means2d, conics, opac, colors, depths, radii_xy, cull_e)
     )
     render = C + T[..., None] * bg[None, None, :]
     return dict(render=render, depth=D, final_T=T, n_contrib=n_contrib)

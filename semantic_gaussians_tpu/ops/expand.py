@@ -20,6 +20,18 @@ per 512-slot chunk from a 640-wide window of it:
 Role parity: step 3 of the cub pipeline (duplicateWithKeys,
 rasterizer_impl.cu:70-111) fused with its bookkeeping.
 
+Round 5 adds EXACT tile-ellipse culling in the same pass at zero extra
+contraction cost: the rect triple (x0, y0, w) — each < 256 for any image
+up to ~8k x 4k px — is packed into ONE f32 table row (x0*65536 + y0*256
++ w < 2^24, exact), freeing rows for (mean_x, mean_y, conic/r^2) where
+r^2 = 2 ln(255*opacity). A pair whose tile's minimum Mahalanobis form
+exceeds r^2 (closed-form min of a PD quadratic over the tile rectangle)
+has alpha < 1/255 at EVERY pixel — the composite kernel would walk it
+and contribute nothing — so it is retired to the sentinel tile here,
+before the tile sort, and never reaches a tile range. Output-exact by
+construction (margin TIGHTCULL_MARGIN absorbs f32 rounding); measured
+~10%% of live pairs at the bench configs (tools/exp_tightcull.py).
+
 Two table residency modes (round 4, VERDICT r3 item 2 — the 12 MB ceiling
 made 1M-gaussian scenes fall back to the slower XLA path):
   * resident (N <= ~330k): the whole 9-row table lives in VMEM; each chunk
@@ -42,12 +54,46 @@ from jax.experimental.pallas import tpu as pltpu
 CHUNK = 512
 WIN = CHUNK + 128  # table window per chunk (owner span + 128-alignment)
 VMEM_TABLE_BYTES = 12 * 1024 * 1024  # beyond this, stream windows from HBM
+# Cull threshold slack: a tile is retired only when its continuous-rect
+# minimum of q/r^2 exceeds 1 by this margin — ~1e3x any f32 rounding in
+# either this test or the composite kernel's per-pixel alpha, so a culled
+# tile's pixels fail alpha < 1/255 STRICTLY under both roundings.
+TIGHTCULL_MARGIN = 1.0 + 1e-4
 
 
 def table_fits(n: int) -> bool:
     """True -> whole-table-VMEM-resident mode; False -> streamed mode."""
     n_pad = -(-n // 128) * 128 + WIN
     return 9 * n_pad * 4 <= VMEM_TABLE_BYTES
+
+
+def tile_min_qn(lox, hix, loy, hiy, e0, e1, e2):
+    """Exact min over the box [lox,hix]x[loy,hiy] of the normalized PD form
+    qn(d) = e0 dx^2 + 2 e1 dx dy + e2 dy^2 (e = conic / r^2).
+
+    If the origin is inside the box the min is 0; otherwise it lies on one
+    of the four edges, where the restriction is a scalar quadratic with a
+    closed-form clamped minimizer. Shared op-for-op by the Pallas kernel,
+    the XLA fallback, and the dense oracle so the cull DECISION is
+    bit-identical across paths (it feeds the bit-compared tile streams).
+    Zero rows (no cull data / non-emitting gaussians) yield qn = 0, which
+    never culls."""
+    inside = (lox <= 0.0) & (hix >= 0.0) & (loy <= 0.0) & (hiy >= 0.0)
+    e0s = jnp.maximum(e0, 1e-20)
+    e2s = jnp.maximum(e2, 1e-20)
+
+    def q(dx, dy):
+        return e0 * dx * dx + 2.0 * (e1 * dx * dy) + e2 * dy * dy
+
+    dy1 = jnp.clip(-(e1 * lox) / e2s, loy, hiy)
+    dy2 = jnp.clip(-(e1 * hix) / e2s, loy, hiy)
+    dx1 = jnp.clip(-(e1 * loy) / e0s, lox, hix)
+    dx2 = jnp.clip(-(e1 * hiy) / e0s, lox, hix)
+    qn = jnp.minimum(
+        jnp.minimum(q(lox, dy1), q(hix, dy2)),
+        jnp.minimum(q(dx1, loy), q(dx2, hiy)),
+    )
+    return jnp.where(inside, 0.0, qn)
 
 
 def _exact_dot(table_f32, onehot_bf16):
@@ -73,13 +119,14 @@ def _exact_dot(table_f32, onehot_bf16):
 
 
 def _kernel(ntx: int, num_tiles: int, n: int, num_chunks: int,
-            streamed: bool):
+            streamed: bool, tile_w: int, tile_h: int, with_cull: bool):
     def kernel(
         bases_ref,  # scalar prefetch: (C,) 128-block index of window start
         num_pairs_ref,  # scalar prefetch: (1,)
         num_dense_ref,  # scalar prefetch: (1,)
         offs_ref,  # (1, N_pad) s32: exclusive cumsum (VMEM or HBM)
-        tab_ref,  # (8, N_pad) f32: x0, y0, w, idx, offs, pad (VMEM or HBM)
+        tab_ref,  # (8, N_pad) f32: packed rect, idx, offs, mx, my, e0, e1,
+        # e2 (VMEM or HBM)
         tile_ref,  # OUT (1, CHUNK) s32
         gkey_ref,  # OUT (1, CHUNK) s32
         owner_ref,  # OUT (1, CHUNK) s32
@@ -139,11 +186,17 @@ def _kernel(ntx: int, num_tiles: int, n: int, num_chunks: int,
         if not streamed:
             tab = tab_ref[:, pl.ds(base, WIN)]  # (8, WIN)
         cols = _exact_dot(tab, onehot)  # (8, CHUNK) f32
-        x0 = cols[0:1].astype(jnp.int32)
-        y0 = cols[1:2].astype(jnp.int32)
-        w = cols[2:3]
-        idx = cols[3:4].astype(jnp.int32)
-        off = cols[4:5].astype(jnp.int32)
+        # Packed rect decode: pr = x0*65536 + y0*256 + w < 2^24, exact in
+        # f32; the power-of-two divides are exact by construction.
+        pr = cols[0:1]
+        x0f = jnp.floor(pr / 65536.0)
+        rem = pr - x0f * 65536.0
+        y0f = jnp.floor(rem / 256.0)
+        w = rem - y0f * 256.0
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+        idx = cols[1:2].astype(jnp.int32)
+        off = cols[2:3].astype(jnp.int32)
 
         local = (p - off).astype(jnp.float32)
         # exact f32 divide: 0 <= local < rect area, 1 <= w <= grid_w (see
@@ -152,32 +205,53 @@ def _kernel(ntx: int, num_tiles: int, n: int, num_chunks: int,
             jnp.int32
         )
         lq = (p - off) - q * w.astype(jnp.int32)
-        tile = (y0 + q) * ntx + x0 + lq
+        tx = x0 + lq
+        ty = y0 + q
+        tile = ty * ntx + tx
 
         valid = p < num_pairs_ref[0]
-        tile_ref[...] = jnp.where(valid, tile, num_tiles)
-        gkey_ref[...] = jnp.where(valid, idx, n)
+        live = valid
+        if with_cull:
+            # Exact tile-ellipse support test (module doc): rect bounds of
+            # THIS pair's tile relative to the splat mean, in pixels.
+            lox = (tx * tile_w).astype(jnp.float32) - cols[3:4]
+            hix = lox + float(tile_w - 1)
+            loy = (ty * tile_h).astype(jnp.float32) - cols[4:5]
+            hiy = loy + float(tile_h - 1)
+            qn = tile_min_qn(
+                lox, hix, loy, hiy, cols[5:6], cols[6:7], cols[7:8]
+            )
+            live = valid & jnp.logical_not(qn > TIGHTCULL_MARGIN)
+        tile_ref[...] = jnp.where(live, tile, num_tiles)
+        gkey_ref[...] = jnp.where(live, idx, n)
         owner_ref[...] = jnp.where(valid, base + owner_rel, num_dense_ref[0])
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pair_budget", "ntx", "num_tiles", "n", "interpret")
+    jax.jit,
+    static_argnames=(
+        "pair_budget", "ntx", "num_tiles", "n", "tile_w", "tile_h",
+        "interpret",
+    ),
 )
 def expand_pairs(
     offsets: jnp.ndarray,  # [N] s32 exclusive cumsum of per-gaussian counts,
     # clamped into [0, pair_budget+1) (depth order)
-    x0d: jnp.ndarray,  # [N] s32 rect left (tile units, depth order)
-    y0d: jnp.ndarray,  # [N] s32 rect top
-    wd: jnp.ndarray,  # [N] s32 rect width (>= 1)
+    rect_packed_d: jnp.ndarray,  # [N] s32: x0*65536 + y0*256 + w (depth
+    # order; x0/y0 in tile units < 256, rect width w in [1, 256))
     idx_d: jnp.ndarray,  # [N] s32 original gaussian id
+    cull_d,  # Optional (5, N) f32 (mean_x, mean_y, e0, e1, e2) depth order
+    # with e = conic / r^2; None disables the tile-ellipse cull
     num_pairs: jnp.ndarray,  # [] s32 valid pairs (<= pair_budget)
     num_dense: jnp.ndarray,  # [] s32 emitting-gaussian count
     pair_budget: int,
     ntx: int,
     num_tiles: int,
     n: int,
+    tile_w: int = 32,
+    tile_h: int = 16,
     interpret: bool = False,
 ):
     """Returns (tile [P], g_key [P], gen_owner [P]) in generation order."""
@@ -185,16 +259,19 @@ def expand_pairs(
     assert p % CHUNK == 0, p
     c = p // CHUNK
     streamed = not table_fits(n)
+    with_cull = cull_d is not None
     n_pad = -(-n // 128) * 128 + WIN
     # sentinel pad: offsets past N must compare ">" any slot id
     offs_pad = jnp.full((n_pad,), jnp.int32(1 << 30)).at[:n].set(offsets)
     tab = jnp.zeros((8, n_pad), jnp.float32)
-    tab = tab.at[0, :n].set(x0d.astype(jnp.float32))
-    tab = tab.at[1, :n].set(y0d.astype(jnp.float32))
-    tab = tab.at[2].set(1.0)  # keep the in-kernel divide well-defined
-    tab = tab.at[2, :n].set(jnp.maximum(wd, 1).astype(jnp.float32))
-    tab = tab.at[3, :n].set(idx_d.astype(jnp.float32))
-    tab = tab.at[4, :n].set(offsets.astype(jnp.float32))
+    # row 0: packed rect; pad rows get w=1 to keep the in-kernel divide
+    # well-defined
+    tab = tab.at[0].set(1.0)
+    tab = tab.at[0, :n].set(rect_packed_d.astype(jnp.float32))
+    tab = tab.at[1, :n].set(idx_d.astype(jnp.float32))
+    tab = tab.at[2, :n].set(offsets.astype(jnp.float32))
+    if with_cull:
+        tab = tab.at[3:8, :n].set(cull_d)
 
     # chunk-start owners (the windows' anchors): C binary searches
     starts = jnp.arange(0, p, CHUNK, dtype=jnp.int32)
@@ -241,7 +318,7 @@ def expand_pairs(
         jax.ShapeDtypeStruct((1, p), jnp.int32),
     ]
     tile, gkey, owner = pl.pallas_call(
-        _kernel(ntx, num_tiles, n, c, streamed),
+        _kernel(ntx, num_tiles, n, c, streamed, tile_w, tile_h, with_cull),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,

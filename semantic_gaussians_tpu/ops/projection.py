@@ -41,6 +41,10 @@ class ProjectedGaussians:
     # reference's circular ceil(3*sigma_max) — visibility/densify-stat parity
     radii_xy: jnp.ndarray  # [N, 2] int32 per-axis rect half-extents used for
     # tile binning (tighter than the circle; see project_gaussians)
+    cull_ellipse: Optional[jnp.ndarray] = None  # [N, 3] conic / r_mah^2:
+    # normalized quadratic whose unit level set is the alpha >= 1/255
+    # support ellipse — drives the exact tile-ellipse pair cull in binning
+    # (ops.expand module doc). Zero rows (non-emitting) never cull.
 
 
 def _ewa_rows(means, world_view, focal_x, focal_y, tan_fov_x, tan_fov_y):
@@ -262,6 +266,13 @@ def project_gaussians(
         raw = eval_sh(sh_degree, jnp.swapaxes(sh_coeffs, -1, -2), dirs) + 0.5
         colors = jnp.maximum(raw, 0.0)
 
+    # Normalized support quadratic for the exact tile-ellipse pair cull:
+    # q(d)/r^2 with q the composite kernel's Mahalanobis form and r^2 the
+    # alpha-cutoff level (both above). Zeroed when r^2 == 0 (op <= 1/255:
+    # emits no pairs anyway) so the cull test is a no-op there.
+    inv_r2 = jnp.where(r_mah2 > 0.0, 1.0 / jnp.maximum(r_mah2, 1e-20), 0.0)
+    cull_ellipse = conics * inv_r2[:, None]
+
     return ProjectedGaussians(
         means2d=means2d,
         depths=depths,
@@ -270,6 +281,7 @@ def project_gaussians(
         colors=colors,
         radii=radii,
         radii_xy=radii_xy,
+        cull_ellipse=cull_ellipse,
     )
 
 

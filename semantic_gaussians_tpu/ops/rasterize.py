@@ -40,7 +40,7 @@ DEFAULT_TILE: Tuple[int, int] = (16, 32)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def pack_gather(
     num_grad_rows, packed, pair_gaussian, gen_of_tile_pos, gen_owner,
-    orig_to_dense, num_pairs,
+    orig_to_dense, gen_live,
 ):
     """Tile-ordered pair columns: packed[pair_gaussian].T -> (D, P_pad).
 
@@ -55,17 +55,17 @@ def pack_gather(
     one-hot-matmul kernel, ops.segsum), and an N-scale gather back to
     original ids. Deterministic by construction — the TPU answer to the CUDA
     backward's atomicAdd scatter (channel-rasterization backward.cu:519-549)."""
-    del gen_of_tile_pos, gen_owner, orig_to_dense, num_pairs, num_grad_rows
+    del gen_of_tile_pos, gen_owner, orig_to_dense, gen_live, num_grad_rows
     return packed[pair_gaussian].T
 
 
 def _pack_gather_fwd(
     num_grad_rows, packed, pair_gaussian, gen_of_tile_pos, gen_owner,
-    orig_to_dense, num_pairs,
+    orig_to_dense, gen_live,
 ):
     out = packed[pair_gaussian].T
     return out, (
-        gen_of_tile_pos, gen_owner, orig_to_dense, num_pairs,
+        gen_of_tile_pos, gen_owner, orig_to_dense, gen_live,
         packed.shape[0], pair_gaussian.shape[0],
     )
 
@@ -75,7 +75,7 @@ def _pack_gather_bwd(num_grad_rows, res, cot):
     from jax.dtypes import float0 as _float0
     from .segsum import CHUNK as SEG_CHUNK, segsum_contiguous
 
-    gen_of_tile_pos, gen_owner, orig_to_dense, num_pairs, n_rows, p_pad = res
+    gen_of_tile_pos, gen_owner, orig_to_dense, gen_live, n_rows, p_pad = res
     row_width = cot.shape[0]
     budget = gen_of_tile_pos.shape[0]
     # (G, P) cotangent -> generation order along the pair axis (the pack's
@@ -104,12 +104,13 @@ def _pack_gather_bwd(num_grad_rows, res, cot):
         )
         cot_gen = cot[:num_grad_rows, tile_pos_of_gen]
     d, p = cot_gen.shape
-    # Invalid pairs (sentinel row in the forward) may carry NaN cotangents
-    # from the composite backward's masked math; the old scatter-add
-    # quarantined them in the discarded sentinel row, but the one-hot MATMUL
-    # would smear 0*NaN across its whole window — zero them instead.
-    valid = (jnp.arange(p, dtype=jnp.int32) < num_pairs)[None, :]
-    cot_gen = jnp.where(valid, cot_gen, 0.0)
+    # Non-live pairs — invalid slots AND tight-culled pairs — carry NaN or
+    # garbage cotangents: invalid slots from the composite backward's
+    # masked math, culled pairs because they sort into the tail the
+    # backward never writes. Their true gradient contribution is zero
+    # (culled pairs fail the alpha cutoff at every pixel), and the one-hot
+    # MATMUL would smear 0*NaN across its whole window — zero them.
+    cot_gen = jnp.where(gen_live[None, :], cot_gen, 0.0)
     owners = gen_owner
     pad = (-p) % SEG_CHUNK
     if pad:
@@ -137,7 +138,7 @@ def _pack_gather_bwd(num_grad_rows, res, cot):
         f0(gen_of_tile_pos.shape),
         f0(gen_owner.shape),
         f0(orig_to_dense.shape),
-        f0(num_pairs.shape),
+        f0(gen_live.shape),
     )
 
 
@@ -183,8 +184,29 @@ def _pack_pair_cols(
         binning.gen_of_tile_pos,
         binning.gen_owner,
         binning.orig_to_dense,
-        binning.num_pairs,
+        binning.gen_live,
     )
+
+
+def _tightcull_gate(n: int, cull_ellipse):
+    """Tight-cull policy: ON exactly when the pair-expand table is
+    VMEM-resident (n <= ~330k) — the regime where it wins. Measured on v5e
+    (bench configs, fwd+bwd): 100k gaussians 16.21 -> 15.71 ms (+3.2%
+    throughput); 1M 97.7 -> 99.0 ms and 5M@1080p 710 -> 864 ms — at
+    multi-M scale the cull's 5 extra N-scale depth-sort payloads cost more
+    (+18 ms at 5M) than its kernel savings, because deep tiles' early-exit
+    (T < 1e-4 all-done vote) already skips most of the dead tail the cull
+    would remove. Env overrides for A/B: SGTPU_NO_TIGHTCULL=1 forces off,
+    SGTPU_TIGHTCULL=1 forces on."""
+    import os
+
+    from .expand import table_fits
+
+    if cull_ellipse is None or os.environ.get("SGTPU_NO_TIGHTCULL"):
+        return None
+    if os.environ.get("SGTPU_TIGHTCULL"):
+        return cull_ellipse
+    return cull_ellipse if table_fits(n) else None
 
 
 def _untile(tile_major: jnp.ndarray, cfg: CompositeConfig, h: int, w: int):
@@ -225,7 +247,13 @@ def rasterize(
     # CLIs do); normalize before unpacking so both backends accept it.
     tile_shape = tile_shape or DEFAULT_TILE
 
+    cull = _tightcull_gate(proj.means2d.shape[0], proj.cull_ellipse)
+
     if backend == "dense":
+        if cull is None and proj.cull_ellipse is not None:
+            import dataclasses as _dc
+
+            proj = _dc.replace(proj, cull_ellipse=None)
         out = rasterize_dense(proj, img_width, img_height, bg, tile_shape)
         out["overflow"] = jnp.zeros((), jnp.int32)
         out["num_pairs"] = jnp.zeros((), jnp.int32)
@@ -237,12 +265,13 @@ def rasterize(
     n = proj.means2d.shape[0]
     budget = pair_budget or default_pair_budget(n)
     num_ch = proj.colors.shape[-1]
+    import os
 
     binning = bin_gaussians(
         proj.means2d, proj.depths, proj.radii_xy, tile_shape,
         (grid_h, grid_w), budget,
+        cull_ellipse=cull,
     )
-    import os
 
     cfg = CompositeConfig(
         tile_h=th,

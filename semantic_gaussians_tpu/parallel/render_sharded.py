@@ -77,9 +77,14 @@ def band_render_core(
     )
     means2d_local = proj.means2d - jnp.array([[0.0, row0 * th]])
     proj = _dc.replace(proj, means2d=means2d_local)
+    from ..ops.rasterize import _tightcull_gate
+
     binning = bin_gaussians(
         proj.means2d, proj.depths, proj.radii_xy, tile_shape,
         (band_rows, grid_w), budget,
+        cull_ellipse=_tightcull_gate(
+            proj.means2d.shape[0], proj.cull_ellipse
+        ),
     )
     pair_data = _pack_pair_cols(proj, binning, cfg)
     color, depth, final_t, n_contrib = composite_pairs(

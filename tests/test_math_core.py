@@ -381,7 +381,7 @@ def test_expand_kernel_matches_xla_path(rng, monkeypatch):
         for f in (
             "pair_gaussian", "pair_tile", "tile_start", "tile_count",
             "num_pairs", "overflow", "gen_of_tile_pos", "gen_owner",
-            "orig_to_dense",
+            "orig_to_dense", "gen_live",
         ):
             np.testing.assert_array_equal(
                 np.asarray(getattr(b_kernel, f)),

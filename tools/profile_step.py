@@ -9,6 +9,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
     args = ap.parse_args()
 
     import jax
@@ -23,7 +25,7 @@ def main():
     from semantic_gaussians_tpu.core.gaussians import GaussianParams
     from semantic_gaussians_tpu.utils.logging_utils import profile_trace, top_ops
 
-    w, h = 640, 480
+    w, h = args.width, args.height
     n = args.n
     rng = np.random.default_rng(0)
     pts = rng.normal(size=(n, 3)).astype(np.float32) * np.array(
@@ -37,8 +39,9 @@ def main():
         sh_dc=sh_dc,
         sh_rest=jnp.zeros((n, k - 1, 3)),
         log_scales=jnp.asarray(
-            rng.uniform(-4.5, -3.0, size=(n, 3)).astype(np.float32)
-        ),
+            (rng.uniform(-4.5, -3.0, size=(n, 3))
+             - np.log(max(n / 1e5, 1.0)) / 3.0).astype(np.float32)
+        ),  # density-scaled sizes, same law as bench.py
         quats=jnp.zeros((n, 4)).at[:, 0].set(1.0),
         opacity_logits=jnp.asarray(
             rng.uniform(-1.0, 1.5, size=(n, 1)).astype(np.float32)
@@ -55,7 +58,7 @@ def main():
 
     probe = render(
         cam, params, alive=alive,
-        pair_budget=max(1 << 20, default_pair_budget(n)),
+        pair_budget=max(1 << 20, min(default_pair_budget(n), (1 << 24) - 8192)),
     )
     budget = tuned_pair_budget(int(probe["num_pairs"]))
     print(f"pairs={int(probe['num_pairs'])} tuned budget={budget}")
